@@ -1,0 +1,135 @@
+"""Convert PyTorch state_dicts (numpy arrays) into flax param pytrees.
+
+Importers here consume a ``{name: np.ndarray}`` mapping — obtained from a
+``.bin``/``.safetensors``/``.pth`` checkpoint — so torch itself is only
+needed at load time, never inside the compute path.
+
+Layout conversions:
+  conv2d  (O, I, kH, kW) -> (kH, kW, I, O)
+  conv3d  (O, I, kT, kH, kW) -> (kT, kH, kW, I, O)
+  linear  (O, I) -> (I, O)
+  norms   weight -> scale
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Mapping
+
+import numpy as np
+
+
+def conv2d_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def conv3d_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def linear_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def load_torch_weights(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint file into numpy arrays (host-side only)."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.float().numpy() if v.dtype.is_floating_point else v.numpy()
+            for k, v in sd.items()}
+
+
+def _set(tree: dict, path: tuple, value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _conv_into(tree: dict, flax_name: str, sd: Mapping, torch_name: str) -> None:
+    _set(tree, (flax_name, "kernel"), conv2d_kernel(np.asarray(sd[f"{torch_name}.weight"])))
+    _set(tree, (flax_name, "bias"), np.asarray(sd[f"{torch_name}.bias"]))
+
+
+def _norm_into(tree: dict, flax_name: str, sd: Mapping, torch_name: str) -> None:
+    _set(tree, (flax_name, "scale"), np.asarray(sd[f"{torch_name}.weight"]))
+    _set(tree, (flax_name, "bias"), np.asarray(sd[f"{torch_name}.bias"]))
+
+
+def magvit_params_from_torch(
+    sd: Mapping[str, np.ndarray],
+    enc_ch_mult=(1, 2, 2, 4, 4),
+    enc_blocks=(4, 3, 4, 3, 4),
+    dec_ch_mult=(1, 1, 2, 2, 4),
+    dec_blocks=(4, 4, 3, 4, 3),
+    ch: int = 128,
+) -> dict:
+    """Map the reference MAGVITv2 state_dict (modeling_magvitv2.py) onto
+    :class:`showo_tpu.models.magvit.MagvitV2` params."""
+    enc: dict = {}
+    _conv_into(enc, "conv_in", sd, "encoder.conv_in")
+    block_in = ch
+    for i, mult in enumerate(enc_ch_mult):
+        block_out = ch * mult
+        for j in range(enc_blocks[i]):
+            _resblock_into(enc, f"down_{i}_block_{j}", sd,
+                           f"encoder.down.{i}.block.{j}", block_in != block_out)
+            block_in = block_out
+        if i != len(enc_ch_mult) - 1:
+            _conv_into(enc, f"down_{i}_downsample", sd,
+                       f"encoder.down.{i}.downsample.conv")
+            # flax submodule holds conv under name "conv"
+            enc[f"down_{i}_downsample"] = {"conv": enc.pop(f"down_{i}_downsample")}
+    _resblock_into(enc, "mid_block_1", sd, "encoder.mid.block_1", False)
+    _attn_into(enc, "mid_attn_1", sd, "encoder.mid.attn_1")
+    _resblock_into(enc, "mid_block_2", sd, "encoder.mid.block_2", False)
+    _norm_into(enc, "norm_out", sd, "encoder.norm_out")
+    _conv_into(enc, "conv_out", sd, "encoder.conv_out")
+    _conv_into(enc, "quant_conv", sd, "encoder.quant_conv")
+
+    dec: dict = {}
+    _conv_into(dec, "post_quant_conv", sd, "decoder.post_quant_conv")
+    _conv_into(dec, "conv_in", sd, "decoder.conv_in")
+    _resblock_into(dec, "mid_block_1", sd, "decoder.mid.block_1", False)
+    _attn_into(dec, "mid_attn_1", sd, "decoder.mid.attn_1")
+    _resblock_into(dec, "mid_block_2", sd, "decoder.mid.block_2", False)
+    block_in = ch * dec_ch_mult[-1]
+    for i in reversed(range(len(dec_ch_mult))):
+        block_out = ch * dec_ch_mult[i]
+        for j in range(dec_blocks[i]):
+            _resblock_into(dec, f"up_{i}_block_{j}", sd,
+                           f"decoder.up.{i}.block.{j}", block_in != block_out)
+            block_in = block_out
+        if i != 0:
+            _conv_into(dec, f"up_{i}_upsample_conv", sd, f"decoder.up.{i}.upsample.conv")
+            dec[f"up_{i}_upsample"] = {"conv": dec.pop(f"up_{i}_upsample_conv")}
+    _norm_into(dec, "norm_out", sd, "decoder.norm_out")
+    _conv_into(dec, "conv_out", sd, "decoder.conv_out")
+
+    return {"encoder": enc, "decoder": dec}
+
+
+def _resblock_into(tree: dict, flax_name: str, sd: Mapping, torch_name: str,
+                   has_shortcut: bool) -> None:
+    sub: dict = {}
+    _norm_into(sub, "norm1", sd, f"{torch_name}.norm1")
+    _conv_into(sub, "conv1", sd, f"{torch_name}.conv1")
+    _norm_into(sub, "norm2", sd, f"{torch_name}.norm2")
+    _conv_into(sub, "conv2", sd, f"{torch_name}.conv2")
+    if has_shortcut or f"{torch_name}.nin_shortcut.weight" in sd:
+        _conv_into(sub, "nin_shortcut", sd, f"{torch_name}.nin_shortcut")
+    tree[flax_name] = sub
+
+
+def _attn_into(tree: dict, flax_name: str, sd: Mapping, torch_name: str) -> None:
+    sub: dict = {}
+    _norm_into(sub, "norm", sd, f"{torch_name}.norm")
+    for p in ("q", "k", "v", "proj_out"):
+        _conv_into(sub, p, sd, f"{torch_name}.{p}")
+    tree[flax_name] = sub
