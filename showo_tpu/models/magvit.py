@@ -185,18 +185,19 @@ def lfq_codebook_entry(indices: jnp.ndarray, codebook_dim: int = 13) -> jnp.ndar
 def lfq_losses(z: jnp.ndarray, beta: float = 0.25) -> dict:
     """Entropy + commitment losses (modeling_magvitv2.py:246-263).
 
-    z: [..., d] pre-quantization activations.
+    z: [N, d] pre-quantization activations (flattened spatial x channel).
     """
     z_q = jnp.where(z > 0, 1.0, -1.0)
     # categorical over {+1, -1} with logits = -(z -/+ 1)^2
     logit_pos = -jnp.square(z - 1.0)
     logit_neg = -jnp.square(z + 1.0)
-    logits = jnp.stack([logit_pos, logit_neg], axis=-1)
+    logits = jnp.stack([logit_pos, logit_neg], axis=-1)  # [N, d, 2]
     logp = jax.nn.log_softmax(logits, axis=-1)
     p = jnp.exp(logp)
     entropy = -jnp.sum(p * logp, axis=-1).mean()
-    mean_p = p.reshape(-1, 2).mean(axis=0)
-    mean_entropy = -jnp.sum(mean_p * jnp.log(jnp.clip(mean_p, 1e-20))).mean()
+    mean_p = p.mean(axis=0)  # [d, 2]: per-channel marginal over the batch
+    mean_entropy = (-jnp.sum(mean_p * jnp.log(jnp.clip(mean_p, 1e-20)),
+                             axis=-1)).mean()
     commit = jnp.mean(jnp.square(jax.lax.stop_gradient(z_q) - z)) + beta * jnp.mean(
         jnp.square(z_q - jax.lax.stop_gradient(z))
     )
