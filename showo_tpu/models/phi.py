@@ -1,0 +1,234 @@
+"""Phi-1.5 decoder, TPU-native: pure functions over an explicit param pytree.
+
+Architecture parity with the reference fork (models/phi.py):
+  * parallel attention+MLP residual: ``h = attn(ln(h)) + mlp(ln(h)) + h``
+    with a single shared input layernorm (phi.py:774-790);
+  * partial rotary embedding on the first ``partial_rotary_factor *
+    head_dim`` dims, GPT-NeoX half-rotation convention (phi.py:163-198);
+  * per-head qk-layernorm, forced on (phi.py:1088 ``config.qk_layernorm
+    = True``);
+  * fp32 upcast for the QK matmul and softmax (phi.py:359-367);
+  * the caller's dense 4D additive mask flows through unchanged — the
+    fork comments out HF causal-mask preparation (phi.py:1009-1026).
+
+All 24 layers are stacked on a leading axis and executed with
+``jax.lax.scan`` (fast compile, natural FSDP sharding axis).  The KV
+cache is an explicit pytree threaded functionally — an intentional
+upgrade over the reference's cacheless AR decode (modeling_showo.py:201),
+bit-identical in outputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class PhiConfig:
+    vocab_size: int = 58498          # unified vocab (configs/showo_demo.yaml:19)
+    hidden_size: int = 2048
+    intermediate_size: int = 8192
+    num_layers: int = 24
+    num_heads: int = 32
+    partial_rotary_factor: float = 0.5
+    rope_theta: float = 10000.0
+    layer_norm_eps: float = 1e-5
+    max_position_embeddings: int = 2048
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def rotary_dim(self) -> int:
+        return int(self.partial_rotary_factor * self.head_dim)
+
+
+class KVCache(NamedTuple):
+    """Fixed-capacity decode cache. k/v: [L, B, S_max, H, Dh]."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    length: jnp.ndarray  # scalar int32: number of valid positions
+
+    @classmethod
+    def zeros(cls, cfg: PhiConfig, batch: int, max_len: int, dtype=jnp.float32):
+        shape = (cfg.num_layers, batch, max_len, cfg.num_heads, cfg.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                   jnp.zeros((), jnp.int32))
+
+
+def layer_norm(x, scale, bias, eps):
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(dt)
+
+
+def _rope_tables(positions: jnp.ndarray, rotary_dim: int, theta: float):
+    """cos/sin tables [..., rotary_dim] for GPT-NeoX convention."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32)
+                                / rotary_dim))
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [..., rd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(q, k, cos, sin, rotary_dim):
+    """Partial rotary: rotate the first rotary_dim dims, pass the rest.
+
+    q, k: [B, S, H, Dh]; cos/sin: [B, S, rotary_dim] (broadcast over heads).
+    """
+    cos = cos[:, :, None, :].astype(q.dtype)
+    sin = sin[:, :, None, :].astype(q.dtype)
+    q_rot, q_pass = q[..., :rotary_dim], q[..., rotary_dim:]
+    k_rot, k_pass = k[..., :rotary_dim], k[..., rotary_dim:]
+    q_rot = q_rot * cos + _rotate_half(q_rot) * sin
+    k_rot = k_rot * cos + _rotate_half(k_rot) * sin
+    return (jnp.concatenate([q_rot, q_pass], -1),
+            jnp.concatenate([k_rot, k_pass], -1))
+
+
+def _attention(q, k, v, bias):
+    """fp32 QK^T and softmax; q,k,v: [B, S, H, Dh]; bias: [B, 1, Q, K]."""
+    head_dim = q.shape[-1]
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk",
+        q.astype(jnp.float32), k.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) / math.sqrt(head_dim)
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def init_phi_params(cfg: PhiConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
+    """Random init (normal 0.02) with the stacked-layer layout."""
+    L, D, F, H, Dh = (cfg.num_layers, cfg.hidden_size, cfg.intermediate_size,
+                      cfg.num_heads, cfg.head_dim)
+    ks = jax.random.split(key, 8)
+    n = lambda k, shape, s=0.02: (jax.random.normal(k, shape) * s).astype(dtype)
+    z = lambda shape: jnp.zeros(shape, dtype)
+    o = lambda shape: jnp.ones(shape, dtype)
+    return {
+        "embed": n(ks[0], (cfg.vocab_size, D)),
+        "layers": {
+            "ln": {"scale": o((L, D)), "bias": z((L, D))},
+            "q": {"kernel": n(ks[1], (L, D, D)), "bias": z((L, D))},
+            "k": {"kernel": n(ks[2], (L, D, D)), "bias": z((L, D))},
+            "v": {"kernel": n(ks[3], (L, D, D)), "bias": z((L, D))},
+            "q_ln": {"scale": o((L, Dh)), "bias": z((L, Dh))},
+            "k_ln": {"scale": o((L, Dh)), "bias": z((L, Dh))},
+            "dense": {"kernel": n(ks[4], (L, D, D)), "bias": z((L, D))},
+            "fc1": {"kernel": n(ks[5], (L, D, F)), "bias": z((L, F))},
+            "fc2": {"kernel": n(ks[6], (L, F, D)), "bias": z((L, D))},
+        },
+        "final_ln": {"scale": o((D,)), "bias": z((D,))},
+        "lm_head": {"kernel": n(ks[7], (D, cfg.vocab_size)), "bias": z((cfg.vocab_size,))},
+    }
+
+
+def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
+           bias: Optional[jnp.ndarray], cos, sin,
+           cache_kv=None, cache_index=None):
+    """One decoder layer. lp holds this layer's (unstacked) params.
+
+    Returns (h_out, (k_full, v_full)) where k_full/v_full are the KV
+    entries to store (either the fresh S positions, or the updated cache).
+    """
+    B, S, D = h.shape
+    H, Dh = cfg.num_heads, cfg.head_dim
+
+    x = layer_norm(h, lp["ln"]["scale"], lp["ln"]["bias"], cfg.layer_norm_eps)
+
+    q = (x @ lp["q"]["kernel"] + lp["q"]["bias"]).reshape(B, S, H, Dh)
+    k = (x @ lp["k"]["kernel"] + lp["k"]["bias"]).reshape(B, S, H, Dh)
+    v = (x @ lp["v"]["kernel"] + lp["v"]["bias"]).reshape(B, S, H, Dh)
+
+    q = layer_norm(q, lp["q_ln"]["scale"], lp["q_ln"]["bias"], cfg.layer_norm_eps)
+    k = layer_norm(k, lp["k_ln"]["scale"], lp["k_ln"]["bias"], cfg.layer_norm_eps)
+
+    q, k = apply_rope(q, k, cos, sin, cfg.rotary_dim)
+
+    if cache_kv is not None:
+        ck, cv = cache_kv  # [B, S_max, H, Dh]
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+        k_att, v_att = ck, cv
+        new_kv = (ck, cv)
+    else:
+        k_att, v_att = k, v
+        new_kv = (k, v)
+
+    attn = _attention(q, k_att, v_att, bias).reshape(B, S, D)
+    attn = attn @ lp["dense"]["kernel"] + lp["dense"]["bias"]
+
+    mlp = jax.nn.gelu(x @ lp["fc1"]["kernel"] + lp["fc1"]["bias"], approximate=True)
+    mlp = mlp @ lp["fc2"]["kernel"] + lp["fc2"]["bias"]
+
+    return h + attn + mlp, new_kv
+
+
+def phi_forward(
+    cfg: PhiConfig,
+    params: Dict[str, Any],
+    input_ids: Optional[jnp.ndarray] = None,
+    input_embeds: Optional[jnp.ndarray] = None,
+    attention_bias: Optional[jnp.ndarray] = None,
+    position_ids: Optional[jnp.ndarray] = None,
+    cache: Optional[KVCache] = None,
+    remat: bool = False,
+):
+    """Full forward. Returns (logits, new_cache_or_None).
+
+    attention_bias: [B, 1, Q, K] additive mask (already inverted).  When a
+    cache is passed, K must equal the cache capacity and the bias must mask
+    out positions >= cache.length + Q.
+    """
+    if input_embeds is None:
+        input_embeds = params["embed"][input_ids]
+    B, S, _ = input_embeds.shape
+
+    if position_ids is None:
+        start = cache.length if cache is not None else 0
+        position_ids = start + jnp.arange(S)[None, :]
+    cos, sin = _rope_tables(position_ids, cfg.rotary_dim, cfg.rope_theta)
+
+    h = input_embeds
+    layer_fn = (jax.checkpoint(_layer, static_argnums=(0,)) if remat else _layer)
+
+    if cache is not None:
+        def body(h, xs):
+            lp, layer_kv = xs
+            h, new_kv = layer_fn(cfg, lp, h, attention_bias, cos, sin,
+                                 layer_kv, cache.length)
+            return h, new_kv
+
+        h, (new_k, new_v) = jax.lax.scan(body, h, (params["layers"],
+                                                   (cache.k, cache.v)))
+        new_cache = KVCache(new_k, new_v, cache.length + S)
+    else:
+        def body(h, lp):
+            h, _ = layer_fn(cfg, lp, h, attention_bias, cos, sin)
+            return h, None
+
+        h, _ = jax.lax.scan(body, h, params["layers"])
+        new_cache = None
+
+    h = layer_norm(h, params["final_ln"]["scale"], params["final_ln"]["bias"],
+                   cfg.layer_norm_eps)
+    logits = h @ params["lm_head"]["kernel"] + params["lm_head"]["bias"]
+    return logits, new_cache

@@ -115,6 +115,48 @@ def magvit_params_from_torch(
     return {"encoder": enc, "decoder": dec}
 
 
+def phi_params_from_torch(sd: Mapping[str, np.ndarray], num_layers: int = 24,
+                          prefix: str = "showo.") -> dict:
+    """Map the reference Showo/Phi state_dict (models/phi.py HF layout,
+    wrapped under ``showo.`` by models/modeling_showo.py) onto the stacked
+    pytree consumed by :func:`showo_tpu.models.phi.phi_forward`."""
+
+    def g(name):
+        return np.asarray(sd[f"{prefix}{name}"])
+
+    def stack_linear(fmt):
+        kern = np.stack([linear_kernel(g(fmt.format(i=i) + ".weight"))
+                         for i in range(num_layers)])
+        bias = np.stack([g(fmt.format(i=i) + ".bias") for i in range(num_layers)])
+        return {"kernel": kern, "bias": bias}
+
+    def stack_norm(fmt):
+        return {
+            "scale": np.stack([g(fmt.format(i=i) + ".weight") for i in range(num_layers)]),
+            "bias": np.stack([g(fmt.format(i=i) + ".bias") for i in range(num_layers)]),
+        }
+
+    L = "model.layers.{i}"
+    return {
+        "embed": g("model.embed_tokens.weight"),
+        "layers": {
+            "ln": stack_norm(f"{L}.input_layernorm"),
+            "q": stack_linear(f"{L}.self_attn.q_proj"),
+            "k": stack_linear(f"{L}.self_attn.k_proj"),
+            "v": stack_linear(f"{L}.self_attn.v_proj"),
+            "q_ln": stack_norm(f"{L}.self_attn.q_layernorm"),
+            "k_ln": stack_norm(f"{L}.self_attn.k_layernorm"),
+            "dense": stack_linear(f"{L}.self_attn.dense"),
+            "fc1": stack_linear(f"{L}.mlp.fc1"),
+            "fc2": stack_linear(f"{L}.mlp.fc2"),
+        },
+        "final_ln": {"scale": g("model.final_layernorm.weight"),
+                     "bias": g("model.final_layernorm.bias")},
+        "lm_head": {"kernel": linear_kernel(g("lm_head.weight")),
+                    "bias": g("lm_head.bias")},
+    }
+
+
 def _resblock_into(tree: dict, flax_name: str, sd: Mapping, torch_name: str,
                    has_shortcut: bool) -> None:
     sub: dict = {}

@@ -1,0 +1,92 @@
+"""Phi transformer parity + KV-cache equivalence tests."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from showo_tpu.models.phi import KVCache, PhiConfig, init_phi_params, phi_forward
+from showo_tpu.ops.masks import to_additive
+from showo_tpu.utils.torch_import import phi_params_from_torch
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "phi_tiny.npz")
+
+TINY = PhiConfig(vocab_size=120, hidden_size=64, intermediate_size=128,
+                 num_layers=2, num_heads=4, max_position_embeddings=128)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    if not os.path.exists(GOLDEN):
+        pytest.skip("golden fixtures missing; run tools/make_golden_phi.py")
+    return np.load(GOLDEN)
+
+
+@pytest.fixture(scope="module")
+def params(golden):
+    sd = {k[3:]: golden[k] for k in golden.files if k.startswith("w::")}
+    return phi_params_from_torch(sd, num_layers=TINY.num_layers)
+
+
+def test_logits_parity(golden, params):
+    ids = jnp.asarray(golden["ids"])
+    bias = to_additive(jnp.asarray(golden["mask"]))
+    logits, _ = phi_forward(TINY, params, input_ids=ids, attention_bias=bias)
+    np.testing.assert_allclose(np.asarray(logits), golden["logits"],
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_kv_cache_matches_full_forward(golden, params):
+    """Prefill + step-decode with cache == full re-forward (causal mask)."""
+    ids = jnp.asarray(golden["ids"])
+    B, S = ids.shape
+    S_max = S + 4
+
+    causal = jnp.tril(jnp.ones((S_max, S_max), bool))
+
+    # full forward over S+2 tokens, no cache
+    rng = jax.random.PRNGKey(0)
+    extra = jax.random.randint(rng, (B, 4), 0, TINY.vocab_size)
+    full_ids = jnp.concatenate([ids, extra], axis=1)
+    bias_full = to_additive(causal[None, None])
+    logits_full, _ = phi_forward(TINY, params, input_ids=full_ids,
+                                 attention_bias=bias_full)
+
+    # prefill S, then decode 4 steps with cache
+    cache = KVCache.zeros(TINY, B, S_max)
+    prefill_bias = to_additive(causal[None, None, :S, :])
+    logits_p, cache = phi_forward(TINY, params, input_ids=ids,
+                                  attention_bias=prefill_bias, cache=cache)
+    np.testing.assert_allclose(np.asarray(logits_p),
+                               np.asarray(logits_full[:, :S]), atol=2e-5,
+                               rtol=1e-4)
+
+    for t in range(4):
+        pos = S + t
+        step_bias = to_additive(causal[None, None, pos:pos + 1, :])
+        logits_t, cache = phi_forward(
+            TINY, params, input_ids=full_ids[:, pos:pos + 1],
+            attention_bias=step_bias, cache=cache)
+        np.testing.assert_allclose(
+            np.asarray(logits_t[:, 0]), np.asarray(logits_full[:, pos]),
+            atol=2e-5, rtol=1e-4, err_msg=f"step {t}")
+
+
+def test_remat_matches(golden, params):
+    ids = jnp.asarray(golden["ids"])
+    bias = to_additive(jnp.asarray(golden["mask"]))
+    a, _ = phi_forward(TINY, params, input_ids=ids, attention_bias=bias)
+    b, _ = phi_forward(TINY, params, input_ids=ids, attention_bias=bias,
+                       remat=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_init_and_forward_shapes():
+    cfg = PhiConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                    num_layers=2, num_heads=2)
+    params = init_phi_params(cfg, jax.random.PRNGKey(0))
+    ids = jnp.zeros((1, 8), jnp.int32)
+    logits, _ = phi_forward(cfg, params, input_ids=ids)
+    assert logits.shape == (1, 8, 64)
