@@ -1,0 +1,198 @@
+"""Show-o unified model: one Phi forward serving t2i / lm / mmu.
+
+Parity with models/modeling_showo.py: the fused batch is laid out
+``[t2i | lm | mmu]`` and a single forward produces three losses —
+masked-token CE over image positions (t2i), next-token CE (lm, mmu)
+(modeling_showo.py:59-102).  Generation entry points live in
+showo_tpu.sampling and are wired here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from showo_tpu.models.phi import KVCache, PhiConfig, init_phi_params, phi_forward
+from showo_tpu.sampling.ar import ar_generate
+from showo_tpu.sampling.maskgit import maskgit_generate
+from showo_tpu.sampling.schedules import cosine_schedule
+
+
+@dataclasses.dataclass(frozen=True)
+class ShowoConfig:
+    vocab_size: int = 58498
+    llm_vocab_size: int = 50295
+    num_new_special_tokens: int = 10
+    codebook_size: int = 8192
+    num_vq_tokens: int = 256
+    w_clip_vit: bool = False
+    llm: PhiConfig = dataclasses.field(default_factory=PhiConfig)
+
+    @property
+    def mask_token_id(self) -> int:
+        return self.vocab_size - 1
+
+    @property
+    def codebook_offset(self) -> int:
+        return self.llm_vocab_size + self.num_new_special_tokens
+
+
+def init_showo_params(cfg: ShowoConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
+    params = {"showo": init_phi_params(cfg.llm, key, dtype)}
+    if cfg.w_clip_vit:
+        k1, k2 = jax.random.split(key)
+        d = cfg.llm.hidden_size
+        params["mm_projector"] = {
+            "fc1": {"kernel": (jax.random.normal(k1, (1024, d)) * 0.02).astype(dtype),
+                    "bias": jnp.zeros((d,), dtype)},
+            "fc2": {"kernel": (jax.random.normal(k2, (d, d)) * 0.02).astype(dtype),
+                    "bias": jnp.zeros((d,), dtype)},
+        }
+    return params
+
+
+def mm_project(params: Dict[str, Any], feats: jnp.ndarray) -> jnp.ndarray:
+    """1024 -> 2048 -> 2048 MLP over CLIP features (modeling_showo.py:49-54)."""
+    p = params["mm_projector"]
+    h = feats @ p["fc1"]["kernel"] + p["fc1"]["bias"]
+    h = jax.nn.gelu(h, approximate=False)
+    return h @ p["fc2"]["kernel"] + p["fc2"]["bias"]
+
+
+def cross_entropy_ignore(logits: jnp.ndarray, labels: jnp.ndarray,
+                         ignore_id: int = -100) -> jnp.ndarray:
+    """Mean CE over positions where labels != ignore_id (F.cross_entropy)."""
+    valid = labels != ignore_id
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    denom = jnp.maximum(valid.sum(), 1)
+    return nll.sum() / denom
+
+
+def showo_forward(
+    cfg: ShowoConfig,
+    params: Dict[str, Any],
+    input_ids: Optional[jnp.ndarray] = None,
+    input_embeds: Optional[jnp.ndarray] = None,
+    attention_bias: Optional[jnp.ndarray] = None,
+    cache: Optional[KVCache] = None,
+    remat: bool = False,
+):
+    return phi_forward(cfg.llm, params["showo"], input_ids=input_ids,
+                       input_embeds=input_embeds, attention_bias=attention_bias,
+                       cache=cache, remat=remat)
+
+
+def showo_losses(
+    cfg: ShowoConfig,
+    params: Dict[str, Any],
+    input_ids: jnp.ndarray,
+    labels: jnp.ndarray,
+    attention_bias: jnp.ndarray,
+    batch_size_t2i: int,
+    batch_size_lm: int,
+    batch_size_mmu: int,
+    max_seq_length: int = 128,
+    remat: bool = True,
+):
+    """Fused 3-task forward (modeling_showo.py:59-102).
+
+    Returns (logits, loss_t2i, loss_lm, loss_mmu).  max_seq_length is the
+    text-prefix length of the t2i layout (slicing at max_seq_length+1).
+    """
+    logits, _ = showo_forward(cfg, params, input_ids=input_ids,
+                              attention_bias=attention_bias, remat=remat)
+    t2i_end = batch_size_t2i
+    lm_end = batch_size_t2i + batch_size_lm
+
+    loss_t2i = cross_entropy_ignore(
+        logits[:t2i_end, max_seq_length + 1:],
+        labels[:t2i_end, max_seq_length + 1:])
+    loss_lm = cross_entropy_ignore(
+        logits[t2i_end:lm_end, :-1], labels[t2i_end:lm_end, 1:])
+    loss_mmu = cross_entropy_ignore(
+        logits[lm_end:lm_end + batch_size_mmu, :-1],
+        labels[lm_end:lm_end + batch_size_mmu, 1:])
+    return logits, loss_t2i, loss_lm, loss_mmu
+
+
+def showo_t2i_generate(
+    cfg: ShowoConfig,
+    params: Dict[str, Any],
+    input_ids: jnp.ndarray,
+    key: jax.Array,
+    *,
+    uncond_input_ids: Optional[jnp.ndarray] = None,
+    attention_bias: Optional[jnp.ndarray] = None,
+    guidance_scale: float = 0.0,
+    temperature: float = 1.0,
+    timesteps: int = 18,
+    noise_schedule=cosine_schedule,
+    max_seq_length: int = 128,
+    injected_noise=None,
+):
+    """MaskGIT generation (modeling_showo.py:104-181) as a compiled loop."""
+
+    def forward_fn(ids):
+        logits, _ = showo_forward(cfg, params, input_ids=ids,
+                                  attention_bias=attention_bias)
+        return logits
+
+    return maskgit_generate(
+        forward_fn, input_ids, key,
+        uncond_input_ids=uncond_input_ids,
+        num_vq_tokens=cfg.num_vq_tokens,
+        mask_token_id=cfg.mask_token_id,
+        codebook_offset=cfg.codebook_offset,
+        codebook_size=cfg.codebook_size,
+        prompt_len=max_seq_length + 1,
+        timesteps=timesteps,
+        guidance_scale=guidance_scale,
+        temperature=temperature,
+        noise_schedule=noise_schedule,
+        injected_noise=injected_noise,
+    )
+
+
+def showo_mmu_generate(
+    cfg: ShowoConfig,
+    params: Dict[str, Any],
+    prompt_ids: jnp.ndarray,
+    key: jax.Array,
+    *,
+    prompt_bias: jnp.ndarray,
+    max_new_tokens: int = 100,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    eot_token: Optional[int] = None,
+    cache_len: Optional[int] = None,
+    injected_gumbel=None,
+):
+    """AR decode with KV cache (vs. cacheless modeling_showo.py:183-240)."""
+    B, S = prompt_ids.shape
+    cap = cache_len or (S + max_new_tokens)
+
+    def prefill(ids, bias):
+        cache = KVCache.zeros(cfg.llm, B, cap, dtype=params["showo"]["embed"].dtype)
+        # bias over the cache capacity: pad key axis to cap
+        pad = cap - bias.shape[-1]
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0), (0, pad)),
+                       constant_values=-1e9)
+        return showo_forward(cfg, params, input_ids=ids, attention_bias=bias,
+                             cache=cache)
+
+    def decode(ids, bias, cache):
+        return showo_forward(cfg, params, input_ids=ids, attention_bias=bias,
+                             cache=cache)
+
+    return ar_generate(prefill, decode, prompt_ids, key,
+                       max_new_tokens=max_new_tokens, temperature=temperature,
+                       top_k=top_k, eot_token=eot_token,
+                       prompt_bias=prompt_bias,
+                       injected_gumbel=injected_gumbel)
