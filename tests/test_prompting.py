@@ -1,0 +1,69 @@
+"""UniversalPrompting parity vs. reference-generated fixtures."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from fake_tokenizer import FakeTokenizer  # noqa: E402
+
+from showo_tpu.prompting import UniversalPrompting  # noqa: E402
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "prompting.npz")
+
+TEXTS = ["a photo of a cat", "an oil painting of mountains at dusk", ""]
+
+
+@pytest.fixture(scope="module")
+def golden():
+    if not os.path.exists(GOLDEN):
+        pytest.skip("golden fixtures missing; run tools/make_golden_prompting.py")
+    return np.load(GOLDEN)
+
+
+@pytest.fixture(scope="module")
+def uni():
+    return UniversalPrompting(FakeTokenizer(), max_text_len=8,
+                              cond_dropout_prob=0.0)
+
+
+def test_t2i(golden, uni):
+    ids, masks, labs = uni((TEXTS, golden["image_ids"], golden["labels"]), "t2i")
+    np.testing.assert_array_equal(ids, golden["t2i_ids"])
+    np.testing.assert_array_equal(masks, golden["t2i_masks"])
+    np.testing.assert_array_equal(labs, golden["t2i_labels"])
+
+
+def test_t2i_gen(golden, uni):
+    ids, masks = uni((TEXTS, golden["image_ids"]), "t2i_gen")
+    np.testing.assert_array_equal(ids, golden["t2i_gen_ids"])
+    np.testing.assert_array_equal(masks, golden["t2i_gen_masks"])
+
+
+def test_lm(golden, uni):
+    ids, masks, labs = uni((TEXTS, 12), "lm")
+    np.testing.assert_array_equal(ids, golden["lm_ids"])
+    np.testing.assert_array_equal(masks, golden["lm_masks"])
+    np.testing.assert_array_equal(labs, golden["lm_labels"])
+
+
+def test_mmu(golden, uni):
+    ids, masks, labs = uni((golden["image_ids"], TEXTS), "mmu")
+    np.testing.assert_array_equal(ids, golden["mmu_ids"])
+    np.testing.assert_array_equal(masks, golden["mmu_masks"])
+    np.testing.assert_array_equal(labs, golden["mmu_labels"])
+
+
+def test_cond_dropout():
+    uni = UniversalPrompting(FakeTokenizer(), max_text_len=8,
+                             cond_dropout_prob=1.0)
+    img = np.zeros((2, 4), np.int64)
+    ids, _, _ = uni((TEXTS[:2], img, img), "t2i")
+    tok = uni.text_tokenizer
+    # with dropout, the non-pad text collapses to [task][bos][eos]
+    row = ids[0]
+    nonpad = row[row != uni.pad_id]
+    assert list(nonpad[:3]) == [uni.sptids["<|t2i|>"], tok.bos_token_id,
+                                tok.eos_token_id]
