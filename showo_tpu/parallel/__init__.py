@@ -1,0 +1,6 @@
+from showo_tpu.parallel.mesh import (
+    make_mesh,
+    param_sharding_rules,
+    shard_params,
+    shard_batch,
+)

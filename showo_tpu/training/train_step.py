@@ -1,0 +1,99 @@
+"""Unified training step: one pjit-compiled function per optimizer step.
+
+The reference's per-step pipeline (training/train.py:496-618) — VQ encode,
+corruption, prompting, three mask builders, fused forward, weighted loss,
+grad clip, AdamW — collapses here into a single compiled function over a
+("dp", "fsdp", "tp") mesh.  Optimizer state inherits the parameters'
+fsdp sharding (the ZeRO-2 analogue).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from showo_tpu.models.showo import ShowoConfig, showo_losses
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-4
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_eps: float = 1e-8
+    weight_decay: float = 0.01
+    max_grad_norm: float = 1.0
+    t2i_coeff: float = 1.0
+    lm_coeff: float = 0.1
+    mmu_coeff: float = 1.0
+    max_seq_length: int = 128
+    grad_accum_steps: int = 1
+
+
+def make_optimizer(tc: TrainConfig, lr_schedule=None) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(tc.max_grad_norm),
+        optax.adamw(
+            learning_rate=lr_schedule if lr_schedule is not None else tc.learning_rate,
+            b1=tc.adam_beta1, b2=tc.adam_beta2, eps=tc.adam_eps,
+            weight_decay=tc.weight_decay,
+        ),
+    )
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init_train_state(params, optimizer) -> TrainState:
+    return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+
+def train_step(
+    state: TrainState,
+    batch: Dict[str, jnp.ndarray],
+    cfg: ShowoConfig,
+    tc: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    batch_size_t2i: int,
+    batch_size_lm: int,
+    batch_size_mmu: int,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One fused optimizer step.
+
+    batch: {"input_ids": [B, L], "labels": [B, L], "bias": [B, 1, L, L]}
+    laid out [t2i | lm | mmu] along the batch axis (train.py:589-600).
+    """
+
+    def loss_fn(params):
+        _, l_t2i, l_lm, l_mmu = showo_losses(
+            cfg, params, batch["input_ids"], batch["labels"], batch["bias"],
+            batch_size_t2i, batch_size_lm, batch_size_mmu,
+            max_seq_length=tc.max_seq_length)
+        total = tc.t2i_coeff * l_t2i + tc.lm_coeff * l_lm + tc.mmu_coeff * l_mmu
+        return total, (l_t2i, l_lm, l_mmu)
+
+    (total, (l_t2i, l_lm, l_mmu)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    grad_norm = optax.global_norm(grads)
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics = {"loss": total, "loss_t2i": l_t2i, "loss_lm": l_lm,
+               "loss_mmu": l_mmu, "grad_norm": grad_norm}
+    return TrainState(params, opt_state, state.step + 1), metrics
+
+
+def make_jitted_train_step(cfg: ShowoConfig, tc: TrainConfig, optimizer,
+                           batch_size_t2i: int, batch_size_lm: int,
+                           batch_size_mmu: int, donate: bool = True):
+    fn = partial(train_step, cfg=cfg, tc=tc, optimizer=optimizer,
+                 batch_size_t2i=batch_size_t2i, batch_size_lm=batch_size_lm,
+                 batch_size_mmu=batch_size_mmu)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
