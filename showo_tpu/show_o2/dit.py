@@ -1,0 +1,239 @@
+"""DiT diffusion head + shared v2 modules, TPU-native.
+
+Parity with show-o2/models/modules.py:
+  * DiffusionHeadConfig: hidden 2048, 32 heads / 8 kv heads, head_dim 64,
+    SwiGLU 8192, RMSNorm qk-norm, llama3-scaled RoPE theta 5e5
+    (modules.py:72-95);
+  * ModulatedAttentionBlock: adaLN 6-way modulation applied only inside
+    image spans from modality_positions (modules.py:109-218) — here the
+    per-span scatter is vectorized (same span-id arithmetic as
+    showo_tpu.show_o2.masks.modality_scatter);
+  * FinalLayer: adaLN-modulated RMSNorm + linear to p^2*C (modules.py:778-806);
+  * TimestepEmbedder: sinusoidal + MLP (modules.py:737-775);
+  * PatchEmbed: p x p conv stride p, NHWC (modules.py:705-734);
+  * modulate() computes in fp32 (modules.py:98-106).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from showo_tpu.show_o2.qwen2 import _rotate_half, rms_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionHeadConfig:
+    hidden_size: int = 2048
+    intermediate_size: int = 8192
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 64
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 5e5
+    qk_norm: bool = True
+    # llama3 rope scaling
+    rope_factor: float = 32.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: int = 8192
+    num_layers: int = 10
+
+
+def llama3_rope_tables(positions, cfg: DiffusionHeadConfig):
+    """llama3-type scaled RoPE (transformers ROPE_INIT 'llama3')."""
+    d = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    low_wav = cfg.rope_original_max_position / cfg.rope_low_freq_factor
+    high_wav = cfg.rope_original_max_position / cfg.rope_high_freq_factor
+    wavelen = 2 * jnp.pi / inv_freq
+    inv_scaled = inv_freq / cfg.rope_factor
+    smooth = ((cfg.rope_original_max_position / wavelen - cfg.rope_low_freq_factor)
+              / (cfg.rope_high_freq_factor - cfg.rope_low_freq_factor))
+    smoothed = (1 - smooth) * inv_scaled + smooth * inv_freq
+    is_medium = (wavelen < low_wav) & (wavelen > high_wav)
+    inv = jnp.where(wavelen > low_wav, inv_scaled,
+                    jnp.where(is_medium, smoothed, inv_freq))
+    freqs = positions[..., None].astype(jnp.float32) * inv
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def modulate(x, shift, scale):
+    dt = x.dtype
+    out = (x.astype(jnp.float32) * (1 + scale.astype(jnp.float32))
+           + shift.astype(jnp.float32))
+    return out.astype(dt)
+
+
+def span_broadcast(values: jnp.ndarray, modality_positions: jnp.ndarray,
+                   L: int, default: float) -> jnp.ndarray:
+    """Spread per-image vectors [B*M, D] onto sequence positions [B, L, D]:
+    positions inside span j of row i get values[i*M+j]; everything else the
+    default (0 for shift/scale, 1 for gate).  Vectorized form of the loops
+    at modules.py:175-183."""
+    BM, D = values.shape
+    M = modality_positions.shape[1]
+    B = modality_positions.shape[0]
+    pos = jnp.arange(L)[None, :, None]
+    off = modality_positions[:, None, :, 0]
+    length = modality_positions[:, None, :, 1]
+    in_span = (pos >= off) & (pos < off + length)      # [B, L, M]
+    span_id = jnp.argmax(
+        jnp.where(in_span, jnp.arange(M)[None, None, :] + 1, 0), axis=-1)
+    claimed = jnp.take_along_axis(in_span, span_id[:, :, None], axis=-1)[..., 0]
+    flat = jnp.arange(B)[:, None] * M + span_id
+    gathered = values[flat]                            # [B, L, D]
+    return jnp.where(claimed[..., None], gathered,
+                     jnp.full_like(gathered, default))
+
+
+def timestep_embedding(t, dim, max_period=10000):
+    """Sinusoidal embedding (modules.py:749-768)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period)
+                    * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t[:, None].astype(jnp.float32) * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def time_embed_apply(p: Dict[str, Any], t, dtype, freq_dim=256):
+    """TimestepEmbedder MLP over the sinusoidal embedding."""
+    h = timestep_embedding(t, freq_dim).astype(dtype)
+    h = h @ p["fc1"]["kernel"] + p["fc1"]["bias"]
+    h = jax.nn.silu(h)
+    return h @ p["fc2"]["kernel"] + p["fc2"]["bias"]
+
+
+def patch_embed_apply(p: Dict[str, Any], x, patch_size: int):
+    """[B, H, W, C] -> [B, H/p * W/p, D] via p x p conv stride p."""
+    out = jax.lax.conv_general_dilated(
+        x, p["kernel"], window_strides=(patch_size, patch_size),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return (out + p["bias"]).reshape(x.shape[0], -1, p["kernel"].shape[-1])
+
+
+def init_dit_params(cfg: DiffusionHeadConfig, key, dtype=jnp.float32):
+    L, D, F = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    ks = jax.random.split(key, 10)
+    n = lambda k, shape, s=0.02: (jax.random.normal(k, shape) * s).astype(dtype)
+    z = lambda shape: jnp.zeros(shape, dtype)
+    o = lambda shape: jnp.ones(shape, dtype)
+    return {
+        "layers": {
+            "input_ln": {"scale": o((L, D))},
+            "post_ln": {"scale": o((L, D))},
+            "q": {"kernel": n(ks[0], (L, D, H * Dh))},
+            "k": {"kernel": n(ks[1], (L, D, Hkv * Dh))},
+            "v": {"kernel": n(ks[2], (L, D, Hkv * Dh))},
+            "o": {"kernel": n(ks[3], (L, H * Dh, D))},
+            "q_norm": {"scale": o((L, Dh))},
+            "k_norm": {"scale": o((L, Dh))},
+            "gate": {"kernel": n(ks[4], (L, D, F))},
+            "up": {"kernel": n(ks[5], (L, D, F))},
+            "down": {"kernel": n(ks[6], (L, F, D))},
+            # adaLN zero-init (modules.py:128-129)
+            "adaln": {"kernel": z((L, D, 6 * D)), "bias": z((L, 6 * D))},
+        },
+    }
+
+
+def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
+               modality_positions):
+    """One ModulatedAttentionBlock (modules.py:131-218)."""
+    B, S, D = h.shape
+    H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    L = S
+
+    ada = jax.nn.silu(adaln_input) @ lp["adaln"]["kernel"] + lp["adaln"]["bias"]
+    sm, cm, gm, s2, c2, g2 = jnp.split(ada, 6, axis=-1)  # each [B*M, D]
+    shift_msa = span_broadcast(sm, modality_positions, L, 0.0)
+    scale_msa = span_broadcast(cm, modality_positions, L, 0.0)
+    gate_msa = span_broadcast(gm, modality_positions, L, 1.0)
+    shift_mlp = span_broadcast(s2, modality_positions, L, 0.0)
+    scale_mlp = span_broadcast(c2, modality_positions, L, 0.0)
+    gate_mlp = span_broadcast(g2, modality_positions, L, 1.0)
+
+    x = modulate(rms_norm(h, lp["input_ln"]["scale"], cfg.rms_norm_eps),
+                 shift_msa, scale_msa)
+
+    q = (x @ lp["q"]["kernel"]).reshape(B, S, H, Dh)
+    k = (x @ lp["k"]["kernel"]).reshape(B, S, Hkv, Dh)
+    v = (x @ lp["v"]["kernel"]).reshape(B, S, Hkv, Dh)
+    if cfg.qk_norm:
+        q = rms_norm(q, lp["q_norm"]["scale"], 1e-6)
+        k = rms_norm(k, lp["k_norm"]["scale"], 1e-6)
+    # reference applies qk-norm then RoPE with heads on axis 1; we keep
+    # [B, S, H, Dh] layout and broadcast cos/sin over heads
+    cos_b = cos[:, :, None, :].astype(q.dtype)
+    sin_b = sin[:, :, None, :].astype(q.dtype)
+    q = q * cos_b + _rotate_half(q) * sin_b
+    k = k * cos_b + _rotate_half(k) * sin_b
+
+    G = H // Hkv
+    qg = q.reshape(B, S, Hkv, G, Dh)
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg.astype(jnp.float32),
+                        k.astype(jnp.float32),
+                        preferred_element_type=jnp.float32) / math.sqrt(Dh)
+    if bias is not None:
+        scores = scores + bias[:, :, None].astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    attn = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v).reshape(B, S, H * Dh)
+    attn = attn @ lp["o"]["kernel"]
+
+    h = h + gate_msa * attn
+
+    x2 = modulate(rms_norm(h, lp["post_ln"]["scale"], cfg.rms_norm_eps),
+                  shift_mlp, scale_mlp)
+    mlp = (jax.nn.silu(x2 @ lp["gate"]["kernel"]) * (x2 @ lp["up"]["kernel"])) \
+        @ lp["down"]["kernel"]
+    return h + gate_mlp * mlp
+
+
+def dit_forward(cfg: DiffusionHeadConfig, params, h, adaln_input,
+                attention_bias, modality_positions, remat: bool = False):
+    """Stack of ModulatedAttentionBlocks as a scan."""
+    B, S, _ = h.shape
+    positions = jnp.arange(S)[None, :]
+    cos, sin = llama3_rope_tables(positions, cfg)
+    layer_fn = (jax.checkpoint(_dit_layer, static_argnums=(0,))
+                if remat else _dit_layer)
+
+    def body(h, lp):
+        return layer_fn(cfg, lp, h, adaln_input, attention_bias, cos, sin,
+                        modality_positions), None
+
+    h, _ = jax.lax.scan(body, h, params["layers"])
+    return h
+
+
+def init_final_layer_params(hidden: int, patch_size: int, out_channels: int,
+                            key, dtype=jnp.float32):
+    # zero-init (modeling_showo2_qwen2_5.py:140-143)
+    return {
+        "norm": {"scale": jnp.ones((hidden,), dtype)},
+        "linear": {"kernel": jnp.zeros((hidden, patch_size * patch_size * out_channels), dtype),
+                   "bias": jnp.zeros((patch_size * patch_size * out_channels,), dtype)},
+        "adaln": {"kernel": jnp.zeros((hidden, 2 * hidden), dtype),
+                  "bias": jnp.zeros((2 * hidden,), dtype)},
+    }
+
+
+def final_layer_apply(p, x, adaln_input, modality_positions,
+                      rms_eps: float = 1e-6):
+    """FinalLayer (modules.py:787-806)."""
+    L = x.shape[1]
+    ada = jax.nn.silu(adaln_input) @ p["adaln"]["kernel"] + p["adaln"]["bias"]
+    shift, scale = jnp.split(ada, 2, axis=-1)
+    shift = span_broadcast(shift, modality_positions, L, 0.0)
+    scale = span_broadcast(scale, modality_positions, L, 0.0)
+    x = modulate(rms_norm(x, p["norm"]["scale"], rms_eps), shift, scale)
+    return x @ p["linear"]["kernel"] + p["linear"]["bias"]

@@ -1,0 +1,194 @@
+"""Qwen2/2.5 decoder, TPU-native (pure functions over a stacked pytree).
+
+Parity with the reference fork (show-o2/models/qwen2.py):
+  * RMSNorm (fp32 internals), SwiGLU MLP, GQA with qkv bias / no o bias;
+  * full-head RoPE (default rope_type), theta 1e6 for Qwen2.5;
+  * **the fork's raw mask passthrough**: `_update_causal_mask` is commented
+    out so the caller's dense 4D additive omni mask is used as-is
+    (qwen2.py:876-880);
+  * tied word embeddings for the 1.5B config.
+
+Same execution strategy as showo_tpu.models.phi: stacked layers +
+``lax.scan``, functional KV cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen2Config:
+    vocab_size: int = 151940          # 151936 + [PAD], <image>, vid_start/end
+    hidden_size: int = 1536
+    intermediate_size: int = 8960
+    num_layers: int = 28
+    num_heads: int = 12
+    num_kv_heads: int = 2
+    head_dim: int = 128
+    rope_theta: float = 1e6
+    rms_norm_eps: float = 1e-6
+    tie_word_embeddings: bool = True
+    max_position_embeddings: int = 32768
+
+
+class Qwen2KVCache(NamedTuple):
+    k: jnp.ndarray  # [L, B, S_max, Hkv, Dh]
+    v: jnp.ndarray
+    length: jnp.ndarray
+
+    @classmethod
+    def zeros(cls, cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.float32):
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                   jnp.zeros((), jnp.int32))
+
+
+def rms_norm(x, scale, eps):
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps) * scale).astype(dt)
+
+
+def rope_tables(positions, head_dim, theta):
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
+                                / head_dim))
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope_full(q, k, cos, sin):
+    cos = cos[:, :, None, :].astype(q.dtype)
+    sin = sin[:, :, None, :].astype(q.dtype)
+    return (q * cos + _rotate_half(q) * sin,
+            k * cos + _rotate_half(k) * sin)
+
+
+def init_qwen2_params(cfg: Qwen2Config, key, dtype=jnp.float32) -> Dict[str, Any]:
+    L, D, F = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    ks = jax.random.split(key, 9)
+    n = lambda k, shape, s=0.02: (jax.random.normal(k, shape) * s).astype(dtype)
+    z = lambda shape: jnp.zeros(shape, dtype)
+    o = lambda shape: jnp.ones(shape, dtype)
+    params = {
+        "embed": n(ks[0], (cfg.vocab_size, D)),
+        "layers": {
+            "input_ln": {"scale": o((L, D))},
+            "post_ln": {"scale": o((L, D))},
+            "q": {"kernel": n(ks[1], (L, D, H * Dh)), "bias": z((L, H * Dh))},
+            "k": {"kernel": n(ks[2], (L, D, Hkv * Dh)), "bias": z((L, Hkv * Dh))},
+            "v": {"kernel": n(ks[3], (L, D, Hkv * Dh)), "bias": z((L, Hkv * Dh))},
+            "o": {"kernel": n(ks[4], (L, H * Dh, D))},
+            "gate": {"kernel": n(ks[5], (L, D, F))},
+            "up": {"kernel": n(ks[6], (L, D, F))},
+            "down": {"kernel": n(ks[7], (L, F, D))},
+        },
+        "final_ln": {"scale": o((D,))},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"kernel": n(ks[8], (D, cfg.vocab_size))}
+    return params
+
+
+def _layer(cfg: Qwen2Config, lp, h, bias, cos, sin, cache_kv=None,
+           cache_index=None):
+    B, S, D = h.shape
+    H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    x = rms_norm(h, lp["input_ln"]["scale"], cfg.rms_norm_eps)
+    q = (x @ lp["q"]["kernel"] + lp["q"]["bias"]).reshape(B, S, H, Dh)
+    k = (x @ lp["k"]["kernel"] + lp["k"]["bias"]).reshape(B, S, Hkv, Dh)
+    v = (x @ lp["v"]["kernel"] + lp["v"]["bias"]).reshape(B, S, Hkv, Dh)
+    q, k = apply_rope_full(q, k, cos, sin)
+
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                          (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                          (0, cache_index, 0, 0))
+        k_att, v_att = ck, cv
+        new_kv = (ck, cv)
+    else:
+        k_att, v_att = k, v
+        new_kv = (k, v)
+
+    # GQA: fold kv-head groups into the einsum instead of materializing
+    # repeat_kv (reference qwen2.py repeats to H heads)
+    G = H // Hkv
+    qg = q.reshape(B, S, Hkv, G, Dh)
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk",
+                        qg.astype(jnp.float32), k_att.astype(jnp.float32),
+                        preferred_element_type=jnp.float32) / math.sqrt(Dh)
+    if bias is not None:
+        scores = scores + bias[:, :, None].astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v_att.dtype)
+    attn = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v_att).reshape(B, S, H * Dh)
+    attn = attn @ lp["o"]["kernel"]
+
+    h = h + attn
+    x2 = rms_norm(h, lp["post_ln"]["scale"], cfg.rms_norm_eps)
+    mlp = (jax.nn.silu(x2 @ lp["gate"]["kernel"]) * (x2 @ lp["up"]["kernel"])) \
+        @ lp["down"]["kernel"]
+    return h + mlp, new_kv
+
+
+def qwen2_forward(
+    cfg: Qwen2Config,
+    params: Dict[str, Any],
+    input_ids: Optional[jnp.ndarray] = None,
+    input_embeds: Optional[jnp.ndarray] = None,
+    attention_bias: Optional[jnp.ndarray] = None,
+    position_ids: Optional[jnp.ndarray] = None,
+    cache: Optional[Qwen2KVCache] = None,
+    remat: bool = False,
+):
+    """Returns (logits, last_hidden_state, new_cache_or_None)."""
+    if input_embeds is None:
+        input_embeds = params["embed"][input_ids]
+    B, S, _ = input_embeds.shape
+
+    if position_ids is None:
+        start = cache.length if cache is not None else 0
+        position_ids = start + jnp.arange(S)[None, :]
+    cos, sin = rope_tables(position_ids, cfg.head_dim, cfg.rope_theta)
+
+    h = input_embeds
+    layer_fn = jax.checkpoint(_layer, static_argnums=(0,)) if remat else _layer
+
+    if cache is not None:
+        def body(h, xs):
+            lp, layer_kv = xs
+            h, new_kv = layer_fn(cfg, lp, h, attention_bias, cos, sin,
+                                 layer_kv, cache.length)
+            return h, new_kv
+
+        h, (nk, nv) = jax.lax.scan(body, h, (params["layers"],
+                                             (cache.k, cache.v)))
+        new_cache = Qwen2KVCache(nk, nv, cache.length + S)
+    else:
+        def body(h, lp):
+            h, _ = layer_fn(cfg, lp, h, attention_bias, cos, sin)
+            return h, None
+
+        h, _ = jax.lax.scan(body, h, params["layers"])
+        new_cache = None
+
+    h = rms_norm(h, params["final_ln"]["scale"], cfg.rms_norm_eps)
+    head = (params["embed"].T if cfg.tie_word_embeddings
+            else params["lm_head"]["kernel"])
+    logits = h @ head
+    return logits, h, new_cache

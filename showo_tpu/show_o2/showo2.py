@@ -1,0 +1,309 @@
+"""Show-o2 unified model (Qwen2.5 LLM + flow-matching DiT head), TPU-native.
+
+Parity with show-o2/models/modeling_showo2_qwen2_5.py:
+  * dual-path visual embedding: PatchEmbed->SigLIP semantic layers (und)
+    and PatchEmbed->LLM-dim (gen), fused by RMSNorm+MLP ``fusion_proj``
+    (:63-90, 288-326);
+  * time-embed token + per-image embeddings scattered into text slots by
+    ``modality_positions`` — vectorized here (:350-371);
+  * Qwen2 forward with the raw 4D omni mask, then a 10-layer DiT head with
+    adaLN-by-span and a zero-init FinalLayer producing the velocity
+    (:373-393);
+  * losses: next-token CE over text labels + masked MSE over velocity
+    (:396-407, misc.py:11-21);
+  * inference extraction with the reference's exact patchify/unpatchify
+    reshape pair (:145-158, 410-433) and CFG zeroing rules (:436-465).
+
+Latents follow the reference's NCHW at the interface; convs run NHWC
+internally (TPU native).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from showo_tpu.show_o2.dit import (
+    DiffusionHeadConfig,
+    dit_forward,
+    final_layer_apply,
+    init_dit_params,
+    init_final_layer_params,
+    patch_embed_apply,
+    time_embed_apply,
+)
+from showo_tpu.show_o2.masks import modality_gather, modality_scatter
+from showo_tpu.show_o2.qwen2 import Qwen2Config, Qwen2KVCache, init_qwen2_params, qwen2_forward
+from showo_tpu.show_o2.siglip import (
+    SigLipConfig,
+    init_siglip_params,
+    interpolate_pos_encoding,
+    siglip_encode,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Showo2Config:
+    llm: Qwen2Config = dataclasses.field(default_factory=Qwen2Config)
+    siglip: SigLipConfig = dataclasses.field(default_factory=SigLipConfig)
+    dit: DiffusionHeadConfig = dataclasses.field(default_factory=DiffusionHeadConfig)
+    image_latent_dim: int = 16
+    image_latent_height: int = 27
+    image_latent_width: int = 27
+    patch_size: int = 2
+    clip_latent_dim: int = 1152
+    add_time_embeds: bool = True
+
+    @property
+    def num_image_tokens(self) -> int:
+        n = (self.image_latent_height // self.patch_size) * \
+            (self.image_latent_width // self.patch_size)
+        return n + (1 if self.add_time_embeds else 0)
+
+
+def init_showo2_params(cfg: Showo2Config, key, dtype=jnp.float32) -> Dict[str, Any]:
+    ks = jax.random.split(key, 12)
+    D_llm = cfg.llm.hidden_size
+    D_clip = cfg.clip_latent_dim
+    D_dit = cfg.dit.hidden_size
+    p, C = cfg.patch_size, cfg.image_latent_dim
+    n = lambda k, shape, s=0.02: (jax.random.normal(k, shape) * s).astype(dtype)
+    z = lambda shape: jnp.zeros(shape, dtype)
+    params = {
+        "showo": init_qwen2_params(cfg.llm, ks[0], dtype),
+        "image_embedder_und": {"kernel": n(ks[1], (p, p, C, D_clip)),
+                               "bias": z((D_clip,))},
+        "image_embedder_gen": {"kernel": n(ks[2], (p, p, C, D_llm)),
+                               "bias": z((D_llm,))},
+        "und_trans": init_siglip_params(cfg.siglip, ks[3], dtype),
+        "fusion_proj": {
+            "norm": {"scale": jnp.ones((D_clip + D_llm,), dtype)},
+            "fc1": {"kernel": n(ks[4], (D_clip + D_llm, D_llm)), "bias": z((D_llm,))},
+            "fc2": {"kernel": n(ks[5], (D_llm, D_llm)), "bias": z((D_llm,))},
+        },
+        "time_embed": {
+            "fc1": {"kernel": n(ks[6], (256, D_dit)), "bias": z((D_dit,))},
+            "fc2": {"kernel": n(ks[7], (D_dit, D_dit)), "bias": z((D_dit,))},
+        },
+        "diffusion_head_a": init_dit_params(cfg.dit, ks[8], dtype),
+        "diffusion_head_b": init_final_layer_params(D_dit, p, C, ks[9], dtype),
+    }
+    if D_llm != D_dit:
+        params["diff_proj"] = {
+            "fc1": {"kernel": n(ks[10], (D_llm, D_dit)), "bias": z((D_dit,))},
+            "fc2": {"kernel": n(ks[11], (D_dit, D_dit)), "bias": z((D_dit,))},
+        }
+        params["time_embed_proj"] = {"kernel": n(ks[11], (D_dit, D_llm)),
+                                     "bias": z((D_llm,))}
+    return params
+
+
+def _rms_norm_affine(x, scale, eps=1e-6):
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    return (scale * (x32 * jax.lax.rsqrt(var + eps))).astype(dt)
+
+
+def embed_images(cfg: Showo2Config, params, latents_nchw: jnp.ndarray):
+    """Dual-path embedding + fusion.  latents: [B*M or B, C, H, W] ->
+    [same, N, D_llm] where N = (H/p)(W/p)."""
+    x = jnp.transpose(latents_nchw, (0, 2, 3, 1))  # NHWC
+    und = patch_embed_apply(params["image_embedder_und"], x, cfg.patch_size)
+    gen = patch_embed_apply(params["image_embedder_gen"], x, cfg.patch_size)
+
+    h_, w_ = x.shape[1] // cfg.patch_size, x.shape[2] // cfg.patch_size
+    pos = params["und_trans"]["pos_embed"]
+    if pos.shape[0] == h_ * w_:
+        und = und + pos[None]
+    else:
+        und = und + interpolate_pos_encoding(pos, h_, w_)
+    und = siglip_encode(cfg.siglip, params["und_trans"], und)
+
+    fused = jnp.concatenate([und, gen], axis=-1)
+    fp = params["fusion_proj"]
+    fused = _rms_norm_affine(fused, fp["norm"]["scale"])
+    fused = fused @ fp["fc1"]["kernel"] + fp["fc1"]["bias"]
+    fused = jax.nn.gelu(fused, approximate=False)
+    return fused @ fp["fc2"]["kernel"] + fp["fc2"]["bias"]
+
+
+def patchify_labels(cfg: Showo2Config, labels_nchw: jnp.ndarray):
+    """Reference label 'patchify' — the exact reshape chain at
+    modeling_showo2_qwen2_5.py:329-332 (a pure reshape, not a spatial
+    patch extraction; its inverse is unpatchify below)."""
+    b, c, H, W = labels_nchw.shape
+    p = cfg.patch_size
+    h_, w_ = H // p, W // p
+    x = jnp.transpose(labels_nchw.reshape(b, c, H * W), (0, 2, 1))  # b (h w) c
+    x = x.reshape(b, h_, w_, p, p, c)
+    return x.reshape(b, h_ * w_, p * p * c)
+
+
+def unpatchify_v(cfg: Showo2Config, v: jnp.ndarray, h_: int, w_: int):
+    """(N, T, p^2 C) -> (N, C, H, W) via the mirrored reshape chain
+    (modeling_showo2_qwen2_5.py:145-158, 429-430)."""
+    n = v.shape[0]
+    p, c = cfg.patch_size, cfg.image_latent_dim
+    x = v.reshape(n, h_, w_, p, p, c).reshape(n, h_ * p * w_ * p, c)
+    x = jnp.transpose(x, (0, 2, 1))
+    return x.reshape(n, c, h_ * p, w_ * p)
+
+
+def next_token_prediction_loss(logits, labels, vocab_size):
+    """misc.py:11-13."""
+    from showo_tpu.models.showo import cross_entropy_ignore
+
+    return cross_entropy_ignore(logits[:, :-1], labels[:, 1:])
+
+
+def velocity_prediction_loss(v_pred, labels, mask):
+    """misc.py:16-21: masked MSE; mask [B, L] over sequence positions."""
+    se = jnp.square(v_pred - labels)
+    m = mask[:, :, None].astype(bool)
+    m = jnp.broadcast_to(m, se.shape)
+    total = jnp.where(m, se, 0.0).sum()
+    return total / jnp.maximum(m.sum(), 1)
+
+
+def showo2_forward(
+    cfg: Showo2Config,
+    params: Dict[str, Any],
+    text_tokens: jnp.ndarray,
+    image_latents: Optional[jnp.ndarray],      # [B*M, C, H, W] (or None)
+    t: Optional[jnp.ndarray],                  # [B*M]
+    attention_bias: jnp.ndarray,
+    modality_positions: jnp.ndarray,           # [B, M, 2]
+    text_labels: Optional[jnp.ndarray] = None,
+    image_labels: Optional[jnp.ndarray] = None,  # [B*M, C, H, W] = ut
+    image_masks: Optional[jnp.ndarray] = None,   # [B, L]
+    und_only: bool = False,
+    remat: bool = False,
+):
+    """Returns a dict with logits and, depending on label presence,
+    loss_ntp / loss_flow / v (sequence-space velocity)."""
+    input_embeds = params["showo"]["embed"][text_tokens]
+    dtype = input_embeds.dtype
+    B, L, D_llm = input_embeds.shape
+
+    if image_latents is None:
+        logits, _, _ = qwen2_forward(cfg.llm, params["showo"],
+                                     input_ids=text_tokens,
+                                     attention_bias=attention_bias,
+                                     remat=remat)
+        return {"logits": logits}
+
+    image_embeds = embed_images(cfg, params, image_latents.astype(dtype))
+
+    time_embeds = time_embed_apply(params["time_embed"], t, dtype)  # [B*M, D_dit]
+    if "time_embed_proj" in params:
+        tp = params["time_embed_proj"]
+        time_embeds_proj = time_embeds @ tp["kernel"] + tp["bias"]
+    else:
+        time_embeds_proj = time_embeds
+
+    input_embeds = modality_scatter(input_embeds, image_embeds,
+                                    time_embeds_proj, modality_positions,
+                                    add_time_embeds=cfg.add_time_embeds)
+
+    logits, last_hidden, _ = qwen2_forward(cfg.llm, params["showo"],
+                                           input_embeds=input_embeds,
+                                           attention_bias=attention_bias,
+                                           remat=remat)
+    out = {"logits": logits}
+    if text_labels is not None:
+        out["loss_ntp"] = next_token_prediction_loss(logits, text_labels,
+                                                     cfg.llm.vocab_size)
+    if und_only:
+        return out
+
+    # diffusion head
+    if "diff_proj" in params:
+        dp = params["diff_proj"]
+        h = last_hidden @ dp["fc1"]["kernel"] + dp["fc1"]["bias"]
+        h = jax.nn.gelu(h, approximate=False)
+        h = h @ dp["fc2"]["kernel"] + dp["fc2"]["bias"]
+    else:
+        h = last_hidden
+    h = dit_forward(cfg.dit, params["diffusion_head_a"], h, time_embeds,
+                    attention_bias, modality_positions, remat=remat)
+    v_pred = final_layer_apply(params["diffusion_head_b"], h, time_embeds,
+                               modality_positions)  # [B, L, p^2 C]
+    out["v_seq"] = v_pred
+
+    if image_labels is not None:
+        # scatter patchified labels into sequence positions; mask out the
+        # time-embed slot (modeling_showo2_qwen2_5.py:346-365)
+        lab = patchify_labels(cfg, image_labels)     # [B*M, N, p^2 C]
+        zero_time = jnp.zeros((lab.shape[0], lab.shape[-1]), lab.dtype)
+        seq_labels = modality_scatter(
+            jnp.zeros_like(v_pred), lab, zero_time, modality_positions,
+            add_time_embeds=cfg.add_time_embeds)
+        if cfg.add_time_embeds:
+            # time slots excluded from the flow loss
+            pos = jnp.arange(L)[None, :, None]
+            off = modality_positions[:, None, :, 0]
+            length = modality_positions[:, None, :, 1]
+            is_time = jnp.any((pos == off) & (length > 0), axis=-1)
+            image_masks = jnp.where(is_time, 0, image_masks)
+        out["loss_flow"] = velocity_prediction_loss(v_pred, seq_labels,
+                                                    image_masks)
+    return out
+
+
+def extract_v(cfg: Showo2Config, v_seq: jnp.ndarray,
+              modality_positions: jnp.ndarray, h_: int, w_: int):
+    """Per-image velocity extraction + unpatchify
+    (modeling_showo2_qwen2_5.py:410-433).  Assumes every span is a real
+    image (generation-time layout).  Returns [B*M, C, H, W]."""
+    T = cfg.num_image_tokens
+    spans = modality_gather(v_seq, modality_positions, T)  # [B*M, T, p^2C]
+    if cfg.add_time_embeds:
+        spans = spans[:, 1:, :]
+    return unpatchify_v(cfg, spans, h_, w_)
+
+
+def showo2_t2i_velocity(
+    cfg: Showo2Config,
+    params: Dict[str, Any],
+    text_tokens: jnp.ndarray,
+    image_latents: jnp.ndarray,
+    t: jnp.ndarray,
+    attention_bias: jnp.ndarray,
+    modality_positions: jnp.ndarray,
+    guidance_scale: float = 0.0,
+    first_frame_as_cond: bool = False,
+    only_denoise_last_image: bool = False,
+):
+    """One velocity evaluation with CFG (t2i_generate, :467-514).
+
+    When guidance_scale > 0, text_tokens/latents/t are the doubled
+    [cond; uncond] batch and the returned v is the guided field duplicated
+    to both halves (as the reference does for the ODE integrator).
+    """
+    out = showo2_forward(cfg, params, text_tokens, image_latents, t,
+                         attention_bias, modality_positions)
+    h_ = cfg.image_latent_height // cfg.patch_size
+    w_ = cfg.image_latent_width // cfg.patch_size
+    v = extract_v(cfg, out["v_seq"], modality_positions, h_, w_)
+
+    if first_frame_as_cond:
+        raise NotImplementedError("video path lands with the video trainer")
+
+    if only_denoise_last_image:
+        # zero v for all but the last image (history kept clean),
+        # modeling_showo2_qwen2_5.py:444-463
+        B = text_tokens.shape[0]
+        M = modality_positions.shape[1]
+        per = v.reshape(B, M, *v.shape[1:])
+        keep = jnp.arange(M)[None, :, None, None, None] == (M - 1)
+        v = jnp.where(keep, per, 0.0).reshape(v.shape)
+
+    if guidance_scale > 0:
+        v_cond, v_uncond = jnp.split(v, 2, axis=0)
+        v_g = v_uncond + guidance_scale * (v_cond - v_uncond)
+        return jnp.concatenate([v_g, v_g], axis=0)
+    return v

@@ -157,6 +157,114 @@ def phi_params_from_torch(sd: Mapping[str, np.ndarray], num_layers: int = 24,
     }
 
 
+def qwen2_params_from_torch(sd: Mapping[str, np.ndarray], num_layers: int,
+                            prefix: str = "", tied: bool = True) -> dict:
+    """Map an HF Qwen2 state_dict onto the stacked pytree consumed by
+    :func:`showo_tpu.show_o2.qwen2.qwen2_forward`."""
+
+    def g(name):
+        return np.asarray(sd[f"{prefix}{name}"])
+
+    def stack_lin(fmt, bias: bool):
+        kern = np.stack([linear_kernel(g(fmt.format(i=i) + ".weight"))
+                         for i in range(num_layers)])
+        out = {"kernel": kern}
+        if bias:
+            out["bias"] = np.stack([g(fmt.format(i=i) + ".bias")
+                                    for i in range(num_layers)])
+        return out
+
+    def stack_scale(fmt):
+        return {"scale": np.stack([g(fmt.format(i=i) + ".weight")
+                                   for i in range(num_layers)])}
+
+    L = "model.layers.{i}"
+    params = {
+        "embed": g("model.embed_tokens.weight"),
+        "layers": {
+            "input_ln": stack_scale(f"{L}.input_layernorm"),
+            "post_ln": stack_scale(f"{L}.post_attention_layernorm"),
+            "q": stack_lin(f"{L}.self_attn.q_proj", True),
+            "k": stack_lin(f"{L}.self_attn.k_proj", True),
+            "v": stack_lin(f"{L}.self_attn.v_proj", True),
+            "o": stack_lin(f"{L}.self_attn.o_proj", False),
+            "gate": stack_lin(f"{L}.mlp.gate_proj", False),
+            "up": stack_lin(f"{L}.mlp.up_proj", False),
+            "down": stack_lin(f"{L}.mlp.down_proj", False),
+        },
+        "final_ln": {"scale": g("model.norm.weight")},
+    }
+    if not tied:
+        params["lm_head"] = {"kernel": linear_kernel(g("lm_head.weight"))}
+    return params
+
+
+def dit_params_from_torch(sd: Mapping[str, np.ndarray], num_layers: int,
+                          prefix: str = "diffusion_head_a.") -> dict:
+    """Map reference ModulatedAttentionBlock stack weights
+    (show-o2/models/modules.py) onto showo_tpu.show_o2.dit pytrees.
+
+    Expects names ``{prefix}{i}.self_attn.q_proj.weight`` etc.
+    """
+
+    def g(name):
+        return np.asarray(sd[f"{prefix}{name}"])
+
+    def stack_lin(fmt, bias=False):
+        out = {"kernel": np.stack([linear_kernel(g(fmt.format(i=i) + ".weight"))
+                                   for i in range(num_layers)])}
+        if bias:
+            out["bias"] = np.stack([g(fmt.format(i=i) + ".bias")
+                                    for i in range(num_layers)])
+        return out
+
+    def stack_scale(fmt):
+        return {"scale": np.stack([g(fmt.format(i=i) + ".weight")
+                                   for i in range(num_layers)])}
+
+    return {
+        "layers": {
+            "input_ln": stack_scale("{i}.input_layernorm"),
+            "post_ln": stack_scale("{i}.post_attention_layernorm"),
+            "q": stack_lin("{i}.self_attn.q_proj"),
+            "k": stack_lin("{i}.self_attn.k_proj"),
+            "v": stack_lin("{i}.self_attn.v_proj"),
+            "o": stack_lin("{i}.self_attn.o_proj"),
+            "q_norm": stack_scale("{i}.self_attn.q_norm"),
+            "k_norm": stack_scale("{i}.self_attn.k_norm"),
+            "gate": stack_lin("{i}.mlp.gate_proj"),
+            "up": stack_lin("{i}.mlp.up_proj"),
+            "down": stack_lin("{i}.mlp.down_proj"),
+            "adaln": stack_lin("{i}.adaLN_modulation.1", bias=True),
+        },
+    }
+
+
+def final_layer_params_from_torch(sd: Mapping[str, np.ndarray],
+                                  prefix: str = "diffusion_head_b.") -> dict:
+    def g(name):
+        return np.asarray(sd[f"{prefix}{name}"])
+
+    return {
+        "norm": {"scale": g("norm_final.weight")},
+        "linear": {"kernel": linear_kernel(g("linear.weight")),
+                   "bias": g("linear.bias")},
+        "adaln": {"kernel": linear_kernel(g("adaLN_modulation.1.weight")),
+                  "bias": g("adaLN_modulation.1.bias")},
+    }
+
+
+def time_embed_params_from_torch(sd: Mapping[str, np.ndarray],
+                                 prefix: str = "time_embed.") -> dict:
+    def g(name):
+        return np.asarray(sd[f"{prefix}{name}"])
+
+    return {
+        "fc1": {"kernel": linear_kernel(g("mlp.0.weight")), "bias": g("mlp.0.bias")},
+        "fc2": {"kernel": linear_kernel(g("mlp.2.weight")), "bias": g("mlp.2.bias")},
+    }
+
+
 def _resblock_into(tree: dict, flax_name: str, sd: Mapping, torch_name: str,
                    has_shortcut: bool) -> None:
     sub: dict = {}

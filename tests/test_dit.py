@@ -1,0 +1,60 @@
+"""DiT head parity: ModulatedAttentionBlock stack + FinalLayer + TimestepEmbedder."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from showo_tpu.ops.masks import to_additive
+from showo_tpu.show_o2.dit import (
+    DiffusionHeadConfig,
+    dit_forward,
+    final_layer_apply,
+    time_embed_apply,
+)
+from showo_tpu.utils.torch_import import (
+    dit_params_from_torch,
+    final_layer_params_from_torch,
+    time_embed_params_from_torch,
+)
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "dit_tiny.npz")
+
+TINY = DiffusionHeadConfig(hidden_size=64, intermediate_size=128,
+                           num_heads=4, num_kv_heads=2, head_dim=16,
+                           num_layers=2)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    if not os.path.exists(GOLDEN):
+        pytest.skip("run tools/make_golden_dit.py")
+    return np.load(GOLDEN)
+
+
+def test_time_embedder_parity(golden):
+    sd = {k[3:]: golden[k] for k in golden.files if k.startswith("w::")}
+    p = jax.tree.map(jnp.asarray, time_embed_params_from_torch(sd, "temb."))
+    out = time_embed_apply(p, jnp.asarray(golden["t"]), jnp.float32,
+                           freq_dim=256)
+    np.testing.assert_allclose(np.asarray(out), golden["adaln"], atol=2e-5,
+                               rtol=1e-4)
+
+
+def test_dit_stack_parity(golden):
+    sd = {k[3:]: golden[k] for k in golden.files if k.startswith("w::")}
+    params = jax.tree.map(jnp.asarray, dit_params_from_torch(sd, 2, "blocks."))
+    bias = to_additive(jnp.asarray(golden["mask"]))
+    h = dit_forward(TINY, params, jnp.asarray(golden["x"]),
+                    jnp.asarray(golden["adaln"]), bias,
+                    jnp.asarray(golden["modality_positions"]))
+    np.testing.assert_allclose(np.asarray(h), golden["h_out"], atol=5e-5,
+                               rtol=1e-4)
+
+    fp = jax.tree.map(jnp.asarray, final_layer_params_from_torch(sd, "final."))
+    v = final_layer_apply(fp, h, jnp.asarray(golden["adaln"]),
+                          jnp.asarray(golden["modality_positions"]))
+    np.testing.assert_allclose(np.asarray(v), golden["v_out"], atol=5e-5,
+                               rtol=1e-4)
