@@ -265,6 +265,49 @@ def time_embed_params_from_torch(sd: Mapping[str, np.ndarray],
     }
 
 
+def siglip_params_from_torch(sd: Mapping[str, np.ndarray], num_layers: int,
+                             prefix: str = "",
+                             pos_embed: np.ndarray | None = None) -> dict:
+    """Map an HF/vendored SiglipEncoder state_dict (``layers.{i}.*``) onto
+    showo_tpu.show_o2.siglip pytrees."""
+
+    def g(name):
+        return np.asarray(sd[f"{prefix}{name}"])
+
+    def stack_lin(fmt):
+        return {
+            "kernel": np.stack([linear_kernel(g(fmt.format(i=i) + ".weight"))
+                                for i in range(num_layers)]),
+            "bias": np.stack([g(fmt.format(i=i) + ".bias")
+                              for i in range(num_layers)]),
+        }
+
+    def stack_norm(fmt):
+        return {
+            "scale": np.stack([g(fmt.format(i=i) + ".weight")
+                               for i in range(num_layers)]),
+            "bias": np.stack([g(fmt.format(i=i) + ".bias")
+                              for i in range(num_layers)]),
+        }
+
+    L = "layers.{i}"
+    params = {
+        "layers": {
+            "ln1": stack_norm(f"{L}.layer_norm1"),
+            "ln2": stack_norm(f"{L}.layer_norm2"),
+            "q": stack_lin(f"{L}.self_attn.q_proj"),
+            "k": stack_lin(f"{L}.self_attn.k_proj"),
+            "v": stack_lin(f"{L}.self_attn.v_proj"),
+            "out": stack_lin(f"{L}.self_attn.out_proj"),
+            "fc1": stack_lin(f"{L}.mlp.fc1"),
+            "fc2": stack_lin(f"{L}.mlp.fc2"),
+        },
+    }
+    if pos_embed is not None:
+        params["pos_embed"] = pos_embed
+    return params
+
+
 def _resblock_into(tree: dict, flax_name: str, sd: Mapping, torch_name: str,
                    has_shortcut: bool) -> None:
     sub: dict = {}
