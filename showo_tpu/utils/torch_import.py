@@ -308,6 +308,67 @@ def siglip_params_from_torch(sd: Mapping[str, np.ndarray], num_layers: int,
     return params
 
 
+def wan_vae_params_from_torch(sd: Mapping[str, np.ndarray], cfg=None) -> dict:
+    """Map the Wan2.1 VAE state_dict (show-o2/models/wan21_vae.py /
+    Wan2.1_VAE.pth layout) onto showo_tpu.show_o2.wan_vae pytrees."""
+    from showo_tpu.show_o2.wan_vae import (
+        WanVAEConfig, decoder_structure, encoder_structure)
+
+    cfg = cfg or WanVAEConfig()
+
+    def c3(name):
+        return {"kernel": conv3d_kernel(np.asarray(sd[f"{name}.weight"])),
+                "bias": np.asarray(sd[f"{name}.bias"])}
+
+    def c2(name):
+        return {"kernel": conv2d_kernel(np.asarray(sd[f"{name}.weight"])),
+                "bias": np.asarray(sd[f"{name}.bias"])}
+
+    def gamma(name):
+        return {"gamma": np.asarray(sd[f"{name}.gamma"]).reshape(-1)}
+
+    def res(prefix):
+        p = {
+            "norm1": gamma(f"{prefix}.residual.0"),
+            "conv1": c3(f"{prefix}.residual.2"),
+            "norm2": gamma(f"{prefix}.residual.3"),
+            "conv2": c3(f"{prefix}.residual.6"),
+        }
+        if f"{prefix}.shortcut.weight" in sd:
+            p["shortcut"] = c3(f"{prefix}.shortcut")
+        return p
+
+    def attn(prefix):
+        return {"norm": gamma(f"{prefix}.norm"),
+                "to_qkv": c2(f"{prefix}.to_qkv"),
+                "proj": c2(f"{prefix}.proj")}
+
+    def stack(side: str, plan, seq_name: str):
+        out = {"conv1": c3(f"{side}.conv1")}
+        for idx, (kind, meta) in enumerate(plan):
+            pref = f"{side}.{seq_name}.{idx}"
+            if kind == "res":
+                out[f"b{idx}"] = res(pref)
+            elif kind in ("downsample2d", "upsample2d"):
+                out[f"b{idx}"] = {"conv": c2(f"{pref}.resample.1")}
+            else:
+                out[f"b{idx}"] = {"conv": c2(f"{pref}.resample.1"),
+                                  "time": c3(f"{pref}.time_conv")}
+        out["mid_res1"] = res(f"{side}.middle.0")
+        out["mid_attn"] = attn(f"{side}.middle.1")
+        out["mid_res2"] = res(f"{side}.middle.2")
+        out["head_norm"] = gamma(f"{side}.head.0")
+        out["head_conv"] = c3(f"{side}.head.2")
+        return out
+
+    return {
+        "encoder": stack("encoder", encoder_structure(cfg), "downsamples"),
+        "conv1": c3("conv1"),
+        "conv2": c3("conv2"),
+        "decoder": stack("decoder", decoder_structure(cfg), "upsamples"),
+    }
+
+
 def _resblock_into(tree: dict, flax_name: str, sd: Mapping, torch_name: str,
                    has_shortcut: bool) -> None:
     sub: dict = {}
