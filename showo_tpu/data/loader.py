@@ -1,0 +1,110 @@
+"""Lightweight host-side data loading: threaded prefetch, fixed-shape
+numpy batches, per-host sharding.
+
+The TPU-native replacement for torch DataLoader + DistributedSampler: the
+device never sees ragged shapes; each jax process reads its own shard
+(``jax.process_index()``-keyed), and a background thread keeps a small
+prefetch queue of collated batches ready for the next step.
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional
+
+import numpy as np
+
+
+def shard_for_process(items: List, process_index: Optional[int] = None,
+                      process_count: Optional[int] = None) -> List:
+    """Static per-host shard (DistributedSampler analogue)."""
+    if process_index is None:
+        import jax
+
+        process_index = jax.process_index()
+        process_count = jax.process_count()
+    return items[process_index::process_count]
+
+
+def default_collate(samples: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        if isinstance(vals[0], np.ndarray) or np.isscalar(vals[0]):
+            out[k] = np.stack([np.asarray(v) for v in vals])
+        else:
+            out[k] = vals  # e.g. raw strings
+    return out
+
+
+class DataLoader:
+    """Iterate fixed-size batches from a sample iterable with a prefetch
+    thread.  ``drop_last`` is always true (static shapes)."""
+
+    def __init__(self, sample_iter_fn: Callable[[], Iterable],
+                 batch_size: int, collate_fn=default_collate,
+                 prefetch: int = 2, num_epochs: Optional[int] = None):
+        self.sample_iter_fn = sample_iter_fn
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.prefetch = prefetch
+        self.num_epochs = num_epochs
+
+    def _epoch_iter(self) -> Iterator:
+        if self.num_epochs is None:
+            while True:
+                yield from self.sample_iter_fn()
+        else:
+            for _ in range(self.num_epochs):
+                yield from self.sample_iter_fn()
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            batch = []
+            try:
+                for sample in self._epoch_iter():
+                    if sample is None:
+                        continue
+                    batch.append(sample)
+                    if len(batch) == self.batch_size:
+                        q.put(self.collate_fn(batch))
+                        batch = []
+            except Exception as e:  # surface worker errors to the consumer
+                q.put(e)
+            q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+
+class ShuffleBuffer:
+    """Reservoir-style shuffle buffer (webdataset .shuffle analogue)."""
+
+    def __init__(self, iterable: Iterable, size: int, seed: int = 0):
+        self.iterable = iterable
+        self.size = size
+        self.rng = np.random.default_rng(seed)
+
+    def __iter__(self):
+        buf: List = []
+        for item in self.iterable:
+            if len(buf) < self.size:
+                buf.append(item)
+                continue
+            idx = int(self.rng.integers(0, self.size))
+            out, buf[idx] = buf[idx], item
+            yield out
+        self.rng.shuffle(buf)
+        yield from buf

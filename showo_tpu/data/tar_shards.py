@@ -1,0 +1,167 @@
+"""webdataset-style tar-shard pipeline (training/data.py equivalent).
+
+Implements the reference Text2ImageDataset flow (training/data.py:180-236)
+without the webdataset dependency: brace-pattern shard expansion, infinite
+resampled shard stream, tar-member grouping by key, pil decode,
+external-caption join hooks, caption cleanup, image transform, and
+warn-and-continue error handling — all host-side, feeding fixed-shape
+numpy samples.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import re
+import tarfile
+from typing import Callable, Dict, Iterable, Iterator, List, Optional
+
+import numpy as np
+
+from showo_tpu.utils.image import image_transform
+from showo_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def brace_expand(pattern: str) -> List[str]:
+    """Expand `{00000..00010}` style ranges (braceexpand subset)."""
+    m = re.search(r"\{(\d+)\.\.(\d+)\}", pattern)
+    if not m:
+        return [pattern]
+    lo, hi = m.group(1), m.group(2)
+    width = len(lo)
+    out = []
+    for i in range(int(lo), int(hi) + 1):
+        out.extend(brace_expand(pattern[:m.start()] + str(i).zfill(width)
+                                + pattern[m.end():]))
+    return out
+
+
+def iterate_tar_samples(path: str) -> Iterator[Dict[str, bytes]]:
+    """Group tar members by basename key: {ext: bytes, '__key__': key}."""
+    try:
+        with tarfile.open(path, "r|*") as tf:
+            current_key = None
+            sample: Dict[str, bytes] = {}
+            for member in tf:
+                if not member.isfile():
+                    continue
+                name = member.name
+                key, _, ext = name.rpartition(".")
+                if current_key is not None and key != current_key and sample:
+                    sample["__key__"] = current_key
+                    sample["__url__"] = path
+                    yield sample
+                    sample = {}
+                current_key = key
+                f = tf.extractfile(member)
+                if f is not None:
+                    sample[ext.lower()] = f.read()
+            if sample:
+                sample["__key__"] = current_key
+                sample["__url__"] = path
+                yield sample
+    except Exception as e:  # warn_and_continue (training/data.py:90-95)
+        logger.warning("skipping corrupt shard %s: %s", path, e)
+
+
+REMOVE_PREFIXES = (
+    "The image features ", "The image presents ", "The image you've sent is, ",
+    "In the center of the image, ", "The image showcases ", "The image is ",
+    "The image captures ", "In the given image ", "The image portrays ",
+    "In the image, ", "In this image, we see ", "The image depicts ",
+    "This is ", "In this image, ", "This image captures ",
+    "This image showcases ", "This suggests ", "In the photo, we see ",
+    "This image is ", "In the photo, we have ", "The photo features ",
+    "The photo depicts ", "The photo appears to be ",
+)
+
+
+def remove_prefix(caption: str) -> str:
+    """training/data.py:108-117 caption cleanup."""
+    for p in REMOVE_PREFIXES:
+        caption = caption.replace(p, "")
+    return caption
+
+
+class Text2ImageTarDataset:
+    """Resampled tar shards -> {"image": [H,W,3] float32, "text": str}.
+
+    caption_fn(sample_dict, url, key) -> str | None allows the external
+    caption joins of training/data.py:241-331; default reads .txt/.json.
+    """
+
+    def __init__(self, shard_pattern: str, resolution: int = 256,
+                 shuffle_buffer: int = 1000, seed: int = 0,
+                 caption_fn: Optional[Callable] = None,
+                 clean_caption: bool = True, resample: bool = True,
+                 shard_for_host: bool = True):
+        self.shards = brace_expand(shard_pattern)
+        if shard_for_host:
+            from showo_tpu.data.loader import shard_for_process
+
+            sharded = shard_for_process(self.shards)
+            self.shards = sharded if sharded else self.shards
+        self.resolution = resolution
+        self.shuffle_buffer = shuffle_buffer
+        self.seed = seed
+        self.caption_fn = caption_fn
+        self.clean_caption = clean_caption
+        self.resample = resample
+
+    def _shard_stream(self) -> Iterator[str]:
+        rng = np.random.default_rng(self.seed)
+        if self.resample:  # stochastic with-replacement (ResampledShards)
+            while True:
+                yield self.shards[int(rng.integers(0, len(self.shards)))]
+        else:
+            yield from self.shards
+
+    def _decode(self, sample: Dict[str, bytes]):
+        from PIL import Image
+
+        img_bytes = None
+        for ext in ("jpg", "jpeg", "png", "webp"):
+            if ext in sample:
+                img_bytes = sample[ext]
+                break
+        if img_bytes is None:
+            return None
+        try:
+            img = Image.open(io.BytesIO(img_bytes)).convert("RGB")
+        except Exception as e:
+            logger.warning("bad image in %s/%s: %s", sample.get("__url__"),
+                           sample.get("__key__"), e)
+            return None
+
+        if self.caption_fn is not None:
+            text = self.caption_fn(sample, sample.get("__url__"),
+                                   sample.get("__key__"))
+        elif "txt" in sample:
+            text = sample["txt"].decode("utf-8", "replace")
+        elif "json" in sample:
+            meta = json.loads(sample["json"])
+            text = meta.get("caption") or meta.get("text") or ""
+        else:
+            text = ""
+        if text is None:
+            return None
+        if self.clean_caption:
+            text = remove_prefix(text)
+        return {"image": image_transform(img, self.resolution), "text": text}
+
+    def __iter__(self):
+        from showo_tpu.data.loader import ShuffleBuffer
+
+        def raw():
+            for shard in self._shard_stream():
+                for s in iterate_tar_samples(shard):
+                    decoded = self._decode(s)
+                    if decoded is not None:
+                        yield decoded
+
+        if self.shuffle_buffer > 1:
+            yield from ShuffleBuffer(raw(), self.shuffle_buffer, self.seed)
+        else:
+            yield from raw()
