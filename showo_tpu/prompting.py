@@ -186,6 +186,39 @@ class UniversalPrompting:
             labs.append(lab)
         return (np.stack(seqs), np.asarray(masks, np.int64), np.stack(labs))
 
+    # -- device-assembly helpers ----------------------------------------
+    def t2i_text_block(self, texts, task_token: str = "<|t2i|>",
+                       dropout: bool = True) -> np.ndarray:
+        """Left-padded text blocks [B, max_text_len] for on-device t2i
+        sequence assembly (the [soi]img[eoi] tail is concatenated inside
+        the compiled step)."""
+        text_ids = self.text_tokenizer(list(texts))["input_ids"]
+        probs = self.rng.random(len(text_ids)) if dropout else np.ones(len(text_ids))
+        out = []
+        for i, ids in enumerate(text_ids):
+            drop = probs[i] < self.cond_dropout_prob
+            out.append(self._pad_left(
+                self._gen_text(list(ids), self.sptids[task_token], drop)))
+        return np.asarray(out, np.int64)
+
+    def mmu_text_block(self, texts):
+        """Right-padded text blocks + labels [B, max_text_len-1] for
+        on-device mmu assembly."""
+        eos = int(self.text_tokenizer.eos_token_id)
+        max_text_len = self.max_text_len - 1
+        text_ids = self.text_tokenizer(list(texts))["input_ids"]
+        blocks, labels = [], []
+        for ids in text_ids:
+            ids = self._with_bos(list(ids)) + [eos]
+            if max_text_len >= len(ids):
+                ids = ids + [self.pad_id] * (max_text_len - len(ids))
+            else:
+                ids = ids[: max_text_len - 1] + [eos]
+            lab = [self.ignore_id if t == self.pad_id else t for t in ids]
+            blocks.append(ids)
+            labels.append(lab)
+        return np.asarray(blocks, np.int64), np.asarray(labels, np.int64)
+
     # -- dispatch --------------------------------------------------------
     def __call__(self, input: Tuple, task: str, max_lm_seq_len: int | None = None,
                  t2i_batch_size: int | None = None):

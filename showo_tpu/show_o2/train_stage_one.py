@@ -1,0 +1,171 @@
+"""Show-o2 stage-1 trainer (show-o2/train_stage_one.py equivalent).
+
+One fused jitted step covers prepare_latents_and_labels + forward + update
+(train_stage_one.py:345-471): frozen Wan-VAE encode, per-sample transport
+corruption with the ``und_max_t0`` dampening for und samples (flow loss
+zeroed when und_max_t0 == 1.0), the v2 omni mask from modality positions,
+the Qwen2+DiT forward with NTP + flow losses, and AdamW with
+substring-based parameter freezing (utils.py:75-80 ``_freeze_params``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from showo_tpu.show_o2.masks import omni_attn_mask
+from showo_tpu.show_o2.showo2 import Showo2Config, showo2_forward
+from showo_tpu.show_o2.transport import Transport
+from showo_tpu.show_o2.wan_vae import WanVAEConfig, wan_encode
+from showo_tpu.utils.logging import Stopwatch, Tracker, get_logger
+
+logger = get_logger(__name__)
+
+
+def trainable_mask(params, frozen_substrings: Sequence[str]):
+    """optax mask pytree: False where any substring matches the param path
+    (the _freeze_params analogue)."""
+
+    def pick(path, leaf):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        return not any(s in name for s in frozen_substrings)
+
+    return jax.tree_util.tree_map_with_path(pick, params)
+
+
+@dataclasses.dataclass(frozen=True)
+class Stage1Config:
+    learning_rate: float = 1e-4
+    max_grad_norm: float = 1.0
+    ntp_coeff: float = 0.2
+    flow_coeff: float = 1.0
+    und_max_t0: float = 1.0        # showo2_1.5b_stage_1_a.yaml und_max_t0
+    weight_decay: float = 0.01
+    warmup_steps: int = 0
+
+
+def make_stage1_optimizer(sc: Stage1Config, params,
+                          frozen_substrings: Sequence[str] = ()):
+    lr = (optax.linear_schedule(0.0, sc.learning_rate, sc.warmup_steps)
+          if sc.warmup_steps > 0 else sc.learning_rate)
+    base = optax.chain(
+        optax.clip_by_global_norm(sc.max_grad_norm),
+        optax.adamw(lr, weight_decay=sc.weight_decay),
+    )
+    if frozen_substrings:
+        labels = jax.tree.map(lambda t: "train" if t else "freeze",
+                              trainable_mask(params, frozen_substrings))
+        return optax.multi_transform(
+            {"train": base, "freeze": optax.set_to_zero()}, labels)
+    return base
+
+
+def make_stage1_step(cfg: Showo2Config, vae_cfg: WanVAEConfig,
+                     sc: Stage1Config, transport: Transport, optimizer):
+    """Fused step.  Batch (already collated, numpy/jax):
+      text_tokens [B, L], text_labels [B, L], images [B, H, W, 3] pixels,
+      modality_positions [B, M, 2], image_masks [B, L],
+      is_und [B] (1 for understanding samples -> t dampening).
+    """
+
+    def step(params, opt_state, vae_params, batch, key):
+        k_vae, k_t, k_noise = jax.random.split(key, 3)
+        B = batch["text_tokens"].shape[0]
+        L = batch["text_tokens"].shape[1]
+
+        # frozen VAE: pixels [B,H,W,3] -> latents [B, C, 1, h, w] -> [B,C,h,w]
+        pixels = jnp.transpose(batch["images"], (0, 3, 1, 2))[:, :, None]
+        latents = wan_encode(vae_cfg, vae_params, pixels, k_vae)[:, :, 0]
+        latents = jax.lax.stop_gradient(latents)
+
+        # transport corruption; und samples get weak noise (t near 1)
+        t = transport.sample_t(k_t, B)
+        if sc.und_max_t0 is not None:
+            t = jnp.where(batch["is_und"] > 0,
+                          sc.und_max_t0 * (1.0 - t) + t, t)
+        x0 = jax.random.normal(k_noise, latents.shape, latents.dtype)
+        _, xt, ut = transport.path_sampler.plan(t, x0, latents)
+
+        bias = omni_attn_mask(batch["modality_positions"], L)
+
+        def loss_fn(params):
+            out = showo2_forward(
+                cfg, params, batch["text_tokens"], xt, t, bias,
+                batch["modality_positions"],
+                text_labels=batch["text_labels"], image_labels=ut,
+                image_masks=batch["image_masks"], remat=True)
+            loss_flow = out["loss_flow"]
+            if sc.und_max_t0 == 1.0:
+                # flow loss zeroed for pure-und batches (train_stage_one.py:369-382)
+                frac_gen = 1.0 - batch["is_und"].mean()
+                loss_flow = jnp.where(batch["is_und"].all(), 0.0, loss_flow)
+            total = sc.ntp_coeff * out["loss_ntp"] + sc.flow_coeff * loss_flow
+            return total, (out["loss_ntp"], loss_flow)
+
+        (total, (l_ntp, l_flow)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": total, "loss_ntp": l_ntp,
+                                   "loss_flow": l_flow,
+                                   "grad_norm": grad_norm}
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+@dataclasses.dataclass
+class Stage1Trainer:
+    cfg: Showo2Config
+    vae_cfg: WanVAEConfig
+    sc: Stage1Config
+    params: Any
+    vae_params: Any
+    transport: Transport
+    frozen_substrings: Sequence[str] = ()
+
+    def __post_init__(self):
+        self.optimizer = make_stage1_optimizer(self.sc, self.params,
+                                               self.frozen_substrings)
+        self.opt_state = self.optimizer.init(self.params)
+        self.step_fn = make_stage1_step(self.cfg, self.vae_cfg, self.sc,
+                                        self.transport, self.optimizer)
+        self.global_step = 0
+
+    def train_step(self, batch: Dict[str, np.ndarray], key):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if k not in ("texts", "data_type")}
+        self.params, self.opt_state, metrics = self.step_fn(
+            self.params, self.opt_state, self.vae_params, batch, key)
+        self.global_step += 1
+        return metrics
+
+    def fit(self, mixed_loader, max_steps: int, log_every: int = 50,
+            save_every: Optional[int] = None, output_dir: str = "output",
+            seed: int = 0, tracker: Optional[Tracker] = None):
+        from showo_tpu.utils.checkpoint import save_checkpoint
+
+        key = jax.random.PRNGKey(seed)
+        for batch in mixed_loader:
+            key, k = jax.random.split(key)
+            is_und = np.asarray(
+                [1 if d == "mmu" else 0 for d in batch.get(
+                    "data_type", ["t2i"] * len(batch["text_tokens"]))],
+                np.int32)
+            batch = dict(batch, is_und=is_und)
+            metrics = self.train_step(batch, k)
+            if self.global_step % log_every == 0:
+                m = {k2: float(v) for k2, v in metrics.items()}
+                logger.info("step %d: %s", self.global_step, m)
+                if tracker:
+                    tracker.log(m, step=self.global_step)
+            if save_every and self.global_step % save_every == 0:
+                save_checkpoint((self.params, self.opt_state), output_dir,
+                                self.global_step)
+            if self.global_step >= max_steps:
+                break

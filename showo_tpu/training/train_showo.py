@@ -1,0 +1,231 @@
+"""Show-o v1 unified trainer (training/train.py equivalent, TPU-native).
+
+One compiled "mega-step" fuses everything the reference does per step
+(train.py:467-618): VQ encode of t2i and mmu pixels, mask/replace
+corruption, on-device sequence assembly ([text][soi]img[eoi] /
+[mmu][soi]img[eoi][text]), the three omni masks, the fused 3-loss
+forward/backward, grad clip, and the AdamW update — over a
+("dp","fsdp","tp") mesh.  Host work is limited to tokenization and batch
+marshalling.
+
+Run:  python -m showo_tpu.training.train_showo config=configs/showo_pretraining_stage1.yaml
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from showo_tpu.models.magvit import MagvitV2, VQConfig
+from showo_tpu.models.showo import ShowoConfig, init_showo_params, showo_losses
+from showo_tpu.ops.masks import omni_mask_mmu, omni_mask_predict_next
+from showo_tpu.sampling.schedules import get_mask_schedule
+from showo_tpu.training.corruption import mask_or_random_replace_tokens
+from showo_tpu.training.train_step import TrainConfig, TrainState, make_optimizer
+from showo_tpu.utils.logging import AverageMeter, Stopwatch, Tracker, get_logger
+
+logger = get_logger(__name__)
+
+
+def assemble_t2i(text_block, img_ids, img_labels, soi, eoi, pad_id,
+                 ignore_id=-100):
+    """[pad..text][soi]img[eoi] ids + labels (prompting_utils.py:59-90),
+    fully on device."""
+    B = text_block.shape[0]
+    soi_col = jnp.full((B, 1), soi, text_block.dtype)
+    eoi_col = jnp.full((B, 1), eoi, text_block.dtype)
+    ids = jnp.concatenate([text_block, soi_col, img_ids, eoi_col], axis=1)
+    labels = jnp.concatenate([text_block, soi_col, img_labels, eoi_col], axis=1)
+    labels = jnp.where(labels == pad_id, ignore_id, labels)
+    return ids, labels
+
+
+def assemble_mmu(text_block, text_labels, img_ids, mmu, soi, eoi,
+                 ignore_id=-100):
+    """[mmu][soi]img[eoi][text] (train.py:541-583 captioning path)."""
+    B, n_img = img_ids.shape
+    ones = lambda v: jnp.full((B, 1), v, text_block.dtype)
+    ids = jnp.concatenate([ones(mmu), ones(soi), img_ids, ones(eoi),
+                           text_block], axis=1)
+    lab_prefix = jnp.full((B, n_img + 3), ignore_id, text_block.dtype)
+    labels = jnp.concatenate([lab_prefix, text_labels], axis=1)
+    return ids, labels
+
+
+def make_fused_train_step(cfg: ShowoConfig, vq_cfg: VQConfig, tc: TrainConfig,
+                          optimizer, sp: Dict[str, int],
+                          batch_size_t2i: int, batch_size_lm: int,
+                          batch_size_mmu: int, mask_schedule,
+                          min_masking_rate: float = 0.0,
+                          noise_type: str = "mask",
+                          predict_all_tokens: bool = False):
+    vq = MagvitV2(vq_cfg)
+    codebook_offset = cfg.codebook_offset
+    mask_id = cfg.mask_token_id
+    pad, soi, eoi, mmu_tok = sp["<|pad|>"], sp["<|soi|>"], sp["<|eoi|>"], sp["<|mmu|>"]
+
+    def step(state: TrainState, vq_params, t2i_pixels, t2i_text_block,
+             lm_ids, lm_labels, mmu_pixels, mmu_text_block, mmu_text_labels,
+             key):
+        k_corrupt, = jax.random.split(key, 1)
+
+        # --- t2i: frozen VQ encode + corruption + assembly
+        img_tokens = vq.apply({"params": vq_params}, t2i_pixels,
+                              method=vq.get_code)
+        noised, img_labels, _, mask_prob = mask_or_random_replace_tokens(
+            k_corrupt, img_tokens, mask_id, mask_schedule,
+            min_masking_rate=min_masking_rate, noise_type=noise_type,
+            predict_all_tokens=predict_all_tokens,
+            codebook_size=cfg.codebook_size)
+        img_unified = jnp.where(noised == mask_id, mask_id,
+                                noised + codebook_offset)
+        img_label_unified = jnp.where(img_labels == -100, -100,
+                                      img_labels + codebook_offset)
+        t2i_ids, t2i_labels = assemble_t2i(t2i_text_block, img_unified,
+                                           img_label_unified, soi, eoi, pad)
+        bias_t2i = omni_mask_predict_next(t2i_ids, pad_id=pad, soi_id=soi,
+                                          eoi_id=eoi, rm_pad_in_image=True)
+
+        # --- lm (host-assembled, device mask)
+        bias_lm = omni_mask_predict_next(lm_ids, pad_id=pad, soi_id=soi,
+                                         eoi_id=eoi, rm_pad_in_image=False)
+
+        # --- mmu: frozen VQ encode + assembly
+        mmu_img = vq.apply({"params": vq_params}, mmu_pixels,
+                           method=vq.get_code) + codebook_offset
+        mmu_ids, mmu_labels = assemble_mmu(mmu_text_block, mmu_text_labels,
+                                           mmu_img, mmu_tok, soi, eoi)
+        bias_mmu = omni_mask_mmu(mmu_ids, eoi_id=eoi)
+
+        input_ids = jnp.concatenate([t2i_ids, lm_ids, mmu_ids], axis=0)
+        labels = jnp.concatenate([t2i_labels, lm_labels, mmu_labels], axis=0)
+        bias = jnp.concatenate([bias_t2i, bias_lm, bias_mmu], axis=0)
+
+        def loss_fn(params):
+            _, l_t2i, l_lm, l_mmu = showo_losses(
+                cfg, params, input_ids, labels, bias,
+                batch_size_t2i, batch_size_lm, batch_size_mmu,
+                max_seq_length=tc.max_seq_length)
+            total = (tc.t2i_coeff * l_t2i + tc.lm_coeff * l_lm
+                     + tc.mmu_coeff * l_mmu)
+            return total, (l_t2i, l_lm, l_mmu)
+
+        import optax
+
+        (total, (l_t2i, l_lm, l_mmu)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": total, "loss_t2i": l_t2i, "loss_lm": l_lm,
+                   "loss_mmu": l_mmu, "grad_norm": grad_norm,
+                   "masking_rate": mask_prob.mean()}
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+@dataclasses.dataclass
+class ShowoTrainer:
+    """Orchestration: data -> fused step -> metrics/checkpoints."""
+
+    config: Any
+    cfg: ShowoConfig
+    vq_cfg: VQConfig
+    params: Any
+    vq_params: Any
+    uni_prompting: Any
+    mesh: Any = None
+
+    def __post_init__(self):
+        c = self.config
+        tr = c.training
+        self.tc = TrainConfig(
+            learning_rate=tr.get("learning_rate", 1e-4),
+            max_grad_norm=tr.get("max_grad_norm", 1.0),
+            t2i_coeff=tr.get("t2i_coeff", 1.0),
+            lm_coeff=tr.get("lm_coeff", 0.1),
+            mmu_coeff=tr.get("mmu_coeff", 1.0),
+            max_seq_length=c.dataset.preprocessing.max_seq_length,
+        )
+        from showo_tpu.training.lr_schedules import get_lr_schedule
+
+        lr_cfg = c.get("lr_scheduler", {}) or {}
+        lr = get_lr_schedule(
+            lr_cfg.get("scheduler", "constant"),
+            self.tc.learning_rate,
+            num_warmup_steps=lr_cfg.get("params", {}).get("warmup_steps", 0),
+            num_training_steps=tr.get("max_train_steps", 1),
+        )
+        self.optimizer = make_optimizer(self.tc, lr)
+        self.state = TrainState(self.params, self.optimizer.init(self.params),
+                                jnp.zeros((), jnp.int32))
+        schedule = get_mask_schedule(tr.get("mask_schedule", "cosine"))
+        self.step_fn = make_fused_train_step(
+            self.cfg, self.vq_cfg, self.tc, self.optimizer,
+            self.uni_prompting.sptids,
+            tr.batch_size_t2i, tr.batch_size_lm, tr.batch_size_mmu,
+            schedule, min_masking_rate=tr.get("min_masking_rate", 0.0),
+            noise_type=tr.get("noise_type", "mask"),
+            predict_all_tokens=tr.get("predict_all_tokens", False))
+        self.tracker = Tracker(project=c.experiment.project,
+                               name=c.experiment.name,
+                               enabled=bool(c.get("wandb_enabled", False)))
+        self.global_step = 0
+
+    def train_step(self, t2i_batch, lm_texts, mmu_batch, key):
+        """One optimizer step from raw host batches."""
+        uni = self.uni_prompting
+        t2i_text = uni.t2i_text_block(t2i_batch["text"])
+        L = t2i_text.shape[1] + self.cfg.num_vq_tokens + 2
+        lm_ids, _, lm_labels = uni.lm_prompt(
+            uni.text_tokenizer(list(lm_texts))["input_ids"], L)
+        mmu_text, mmu_text_labels = uni.mmu_text_block(mmu_batch["text"])
+
+        self.state, metrics = self.step_fn(
+            self.state, self.vq_params,
+            jnp.asarray(t2i_batch["image"]), jnp.asarray(t2i_text),
+            jnp.asarray(lm_ids), jnp.asarray(lm_labels),
+            jnp.asarray(mmu_batch["image"]), jnp.asarray(mmu_text),
+            jnp.asarray(mmu_text_labels), key)
+        self.global_step += 1
+        return metrics
+
+    def fit(self, t2i_loader, lm_loader, mmu_loader, max_steps: int,
+            log_every: int = 50, save_every: Optional[int] = None,
+            output_dir: str = "output",
+            checkpoints_total_limit: Optional[int] = None, seed: int = 0):
+        from showo_tpu.utils.checkpoint import save_checkpoint
+
+        key = jax.random.PRNGKey(seed)
+        watch = Stopwatch()
+        batch_time = AverageMeter()
+        it = zip(iter(t2i_loader), iter(lm_loader), iter(mmu_loader))
+        for (t2i_b, lm_b, mmu_b) in it:
+            key, k = jax.random.split(key)
+            metrics = self.train_step(t2i_b, lm_b["input_ids"], mmu_b, k)
+            batch_time.update(watch.lap())
+            if self.global_step % log_every == 0:
+                m = {k2: float(v) for k2, v in metrics.items()}
+                m["batch_time"] = batch_time.avg
+                m["samples_per_sec"] = (
+                    (self.config.training.batch_size_t2i
+                     + self.config.training.batch_size_lm
+                     + self.config.training.batch_size_mmu)
+                    / max(batch_time.avg, 1e-9))
+                self.tracker.log(m, step=self.global_step)
+                logger.info("step %d: %s", self.global_step, m)
+            if save_every and self.global_step % save_every == 0:
+                save_checkpoint(self.state, output_dir, self.global_step,
+                                checkpoints_total_limit)
+            if self.global_step >= max_steps:
+                break
+        return self.state

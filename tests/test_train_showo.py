@@ -1,0 +1,69 @@
+"""v1 unified-trainer integration test: few fused steps on tiny models."""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from fake_tokenizer import FakeTokenizer  # noqa: E402
+
+from showo_tpu.config import Config  # noqa: E402
+from showo_tpu.models.magvit import MagvitV2, VQConfig  # noqa: E402
+from showo_tpu.models.phi import PhiConfig  # noqa: E402
+from showo_tpu.models.showo import ShowoConfig, init_showo_params  # noqa: E402
+from showo_tpu.prompting import UniversalPrompting  # noqa: E402
+from showo_tpu.training.train_showo import ShowoTrainer  # noqa: E402
+
+VQ_TINY = VQConfig(ch=32, enc_ch_mult=(1, 2), enc_num_res_blocks=(1, 1),
+                   dec_ch_mult=(1, 2), dec_num_res_blocks=(1, 1), z_channels=4)
+
+
+def _cfgs():
+    text_vocab = 1010
+    cfg = ShowoConfig(
+        vocab_size=text_vocab + 16 + 1, llm_vocab_size=text_vocab,
+        num_new_special_tokens=0, codebook_size=16, num_vq_tokens=16,
+        llm=PhiConfig(vocab_size=text_vocab + 17, hidden_size=64,
+                      intermediate_size=128, num_layers=2, num_heads=4),
+    )
+    config = Config({
+        "experiment": Config(project="t", name="t", output_dir="out"),
+        "dataset": Config(preprocessing=Config(max_seq_length=8)),
+        "training": Config(batch_size_t2i=2, batch_size_lm=2,
+                           batch_size_mmu=2, max_train_steps=3),
+    })
+    return cfg, config
+
+
+def test_trainer_runs_and_learns():
+    cfg, config = _cfgs()
+    uni = UniversalPrompting(FakeTokenizer(), max_text_len=8,
+                             cond_dropout_prob=0.1)
+    params = init_showo_params(cfg, jax.random.PRNGKey(0))
+    vq = MagvitV2(VQ_TINY)
+    vq_params = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, 3)))["params"]
+
+    trainer = ShowoTrainer(config=config, cfg=cfg, vq_cfg=VQ_TINY,
+                           params=params, vq_params=vq_params,
+                           uni_prompting=uni)
+
+    rng = np.random.default_rng(0)
+    t2i_batch = {"image": rng.normal(size=(2, 8, 8, 3)).astype(np.float32),
+                 "text": ["a cat", "a dog"]}
+    mmu_batch = {"image": rng.normal(size=(2, 8, 8, 3)).astype(np.float32),
+                 "text": ["describe it", "what is it"]}
+    lm_texts = ["language modeling text", "another document"]
+
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(3):
+        key, k = jax.random.split(key)
+        m = trainer.train_step(t2i_batch, lm_texts, mmu_batch, k)
+        losses.append(float(m["loss"]))
+        assert np.isfinite(losses[-1])
+    assert trainer.global_step == 3
+    # same data 3 steps -> loss decreases
+    assert losses[-1] < losses[0]

@@ -1,0 +1,96 @@
+"""Show-o2 stage-1 trainer integration test (tiny configs)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from showo_tpu.show_o2.dit import DiffusionHeadConfig
+from showo_tpu.show_o2.qwen2 import Qwen2Config
+from showo_tpu.show_o2.showo2 import Showo2Config, init_showo2_params
+from showo_tpu.show_o2.siglip import SigLipConfig
+from showo_tpu.show_o2.train_stage_one import (
+    Stage1Config,
+    Stage1Trainer,
+    trainable_mask,
+)
+from showo_tpu.show_o2.transport import Transport
+from showo_tpu.show_o2.wan_vae import WanVAEConfig, init_wan_vae_params
+from showo_tpu.show_o2.formats import format_sequence_gen_qwen2_5
+
+VAE_TINY = WanVAEConfig(dim=16, z_dim=16, dim_mult=(1, 2), num_res_blocks=1,
+                        temperal_downsample=(True,))
+# VAE: 16x16 pixels -> 4x downsample (2 stages... dim_mult len 2 -> 1
+# downsample) -> latent 8x8, z=16.  patch 2 -> 4x4=16 tokens + 1 time = 17.
+TINY = Showo2Config(
+    llm=Qwen2Config(vocab_size=200, hidden_size=64, intermediate_size=128,
+                    num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16),
+    siglip=SigLipConfig(hidden_size=48, intermediate_size=96, num_heads=4,
+                        num_layers=2, num_positions=16),
+    dit=DiffusionHeadConfig(hidden_size=96, intermediate_size=192,
+                            num_heads=4, num_kv_heads=2, head_dim=24,
+                            num_layers=2),
+    image_latent_dim=16,
+    image_latent_height=8,
+    image_latent_width=8,
+    patch_size=2,
+    clip_latent_dim=48,
+)
+N_IMG = TINY.num_image_tokens  # 17
+L = 40
+IDS = dict(bos_id=1, eos_id=2, boi_id=3, eoi_id=4, pad_id=5, img_pad_id=6)
+
+
+def _batch(B=2):
+    rng = np.random.default_rng(0)
+    toks, labs, mps, tms, ims = [], [], [], [], []
+    for i in range(B):
+        t, l, mp, tm, im = format_sequence_gen_qwen2_5(
+            list(rng.integers(10, 190, size=4)), num_image_tokens=N_IMG,
+            max_seq_len=L, **IDS)
+        toks.append(t)
+        labs.append(l)
+        mps.append(mp)
+        tms.append(tm)
+        ims.append(im)
+    return {
+        "text_tokens": np.stack(toks), "text_labels": np.stack(labs),
+        "modality_positions": np.stack(mps), "text_masks": np.stack(tms),
+        "image_masks": np.stack(ims),
+        "images": rng.normal(size=(B, 16, 16, 3)).astype(np.float32),
+        "is_und": np.zeros(B, np.int32),
+    }
+
+
+def test_stage1_trainer_steps():
+    params = init_showo2_params(TINY, jax.random.PRNGKey(0))
+    vae_params = init_wan_vae_params(VAE_TINY, jax.random.PRNGKey(1))
+    sc = Stage1Config(und_max_t0=0.9)
+    trainer = Stage1Trainer(
+        cfg=TINY, vae_cfg=VAE_TINY, sc=sc, params=params,
+        vae_params=vae_params,
+        transport=Transport(snr_type="lognorm", do_shift=True, seq_len=N_IMG),
+        frozen_substrings=("und_trans",))
+
+    batch = _batch()
+    losses = []
+    key = jax.random.PRNGKey(0)
+    before = np.asarray(
+        trainer.params["und_trans"]["layers"]["q"]["kernel"]).copy()
+    emb_before = np.asarray(trainer.params["showo"]["embed"]).copy()
+    for i in range(3):
+        key, k = jax.random.split(key)
+        m = trainer.train_step(batch, k)
+        losses.append(float(m["loss"]))
+        assert np.isfinite(losses[-1])
+    # frozen substring params unchanged; others updated
+    after = np.asarray(trainer.params["und_trans"]["layers"]["q"]["kernel"])
+    np.testing.assert_array_equal(before, after)
+    assert not np.array_equal(emb_before,
+                              np.asarray(trainer.params["showo"]["embed"]))
+
+
+def test_trainable_mask():
+    params = {"a": {"und_trans": {"w": np.zeros(2)}, "x": np.zeros(2)}}
+    mask = trainable_mask(params, ["und_trans"])
+    assert mask["a"]["und_trans"]["w"] is False
+    assert mask["a"]["x"] is True
