@@ -1,0 +1,211 @@
+"""Pallas fused omni-attention for TPU.
+
+The omni mask is per-sample block-heterogeneous (causal for text,
+bidirectional inside image spans, pad pruning, mmu prefix visibility), so
+flash kernels that assume causal/banded structure don't apply.  Instead of
+materializing the [B, 1, S, S] additive bias in HBM (what the dense path
+does), this kernel recomputes the mask predicate in-kernel from O(S)
+span metadata (SURVEY.md §7.3.4):
+
+  visible(b, i, j) = [ j <= i
+                       | (seg[b,i] == seg[b,j] & seg[b,i] > 0)
+                       | j < prefix[b] ]
+                     & ( !pad[b,j] | i <= last_pad[b] )
+
+which expresses every mask in the framework:
+  * v1 ``create_attention_mask_predict_next`` (+rm_pad_in_image):
+    seg = image-span ids, pad = pad positions, last_pad = last pad index;
+  * v1 mmu: prefix = first_eoi + 1;
+  * v2 ``omni_attn_mask``: seg from modality_positions;
+  * plain causal: all metadata zero / empty.
+
+Layout: q, k, v [B, H, S, D]; S padded to a multiple of the q block; K/V
+for one (b, h) live fully in VMEM (S <= ~4k), scores are computed per
+128-row q block with the predicate fused, fp32 softmax, bf16 matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 128
+NEG_INF = -1e30
+
+
+def _attn_kernel(lastpad_ref, prefix_ref,  # scalar prefetch (SMEM)
+                 qT_ref, kT_ref, vT_ref, seg_ref, pad_ref, oT_ref,
+                 *, sm_scale, block_q, seq_len):
+    """Transposed layout: qT [D, BQ], kT/vT [D, S], out [D, BQ] — lanes are
+    always S or BQ (multiples of 128), satisfying Mosaic tiling for any
+    head_dim."""
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+
+    qT = qT_ref[:]                    # [D, BQ]
+    kT = kT_ref[:]                    # [D, S]
+    vT = vT_ref[:]                    # [D, S]
+
+    S = kT.shape[1]
+    row0 = qi * block_q
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, S), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, S), 1)
+
+    seg = seg_ref[0, 0]               # [S] int32 (this batch row's block)
+    pad = pad_ref[0, 0]               # [S] int32
+    seg_q = seg_ref[0, 0, pl.ds(pl.multiple_of(row0, block_q), block_q)]
+    last_pad = lastpad_ref[b]
+    prefix = prefix_ref[b]
+
+    visible = cols <= rows
+    visible |= (seg_q[:, None] == seg[None, :]) & (seg_q[:, None] > 0)
+    visible |= cols < prefix
+    visible &= (pad[None, :] == 0) | (rows <= last_pad)
+    visible &= cols < seq_len         # kv padding of the 128-multiple
+
+    # scores[BQ, S] = qT^T @ kT  (contract D)
+    scores = jax.lax.dot_general(
+        qT, kT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+    scores = jnp.where(visible, scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    # outT[D, BQ] = vT @ probs^T  (contract S)
+    outT = jax.lax.dot_general(
+        vT, probs.astype(vT.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    oT_ref[:] = outT.astype(oT_ref.dtype)
+
+
+def omni_attention(q, k, v, seg, pad=None, last_pad=None, prefix=None,
+                   sm_scale: Optional[float] = None,
+                   block_q: int = DEFAULT_BLOCK_Q,
+                   interpret: bool = False):
+    """q, k, v: [B, H, S, D]; seg: [B, S] int32; pad: [B, S] int32;
+    last_pad, prefix: [B] int32.  Returns [B, H, S, D].
+
+    S is padded internally to a multiple of block_q.
+    """
+    B, H, S, D = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(D)
+
+    Sp = ((S + block_q - 1) // block_q) * block_q
+    if Sp != S:
+        padw = ((0, 0), (0, 0), (0, Sp - S), (0, 0))
+        q = jnp.pad(q, padw)
+        k = jnp.pad(k, padw)
+        v = jnp.pad(v, padw)
+        seg = jnp.pad(seg, ((0, 0), (0, Sp - S)))
+    if pad is None:
+        pad = jnp.zeros((B, Sp), jnp.int32)
+    elif pad.shape[1] != Sp:
+        pad = jnp.pad(pad, ((0, 0), (0, Sp - pad.shape[1])))
+    if last_pad is None:
+        last_pad = jnp.full((B,), -1, jnp.int32)
+    if prefix is None:
+        prefix = jnp.zeros((B,), jnp.int32)
+
+    grid = (B, H, Sp // block_q)
+
+    # transposed [B, H, D, S] layout so the lane axis is S/BQ (x128)
+    qT = jnp.swapaxes(q, 2, 3)
+    kT = jnp.swapaxes(k, 2, 3)
+    vT = jnp.swapaxes(v, 2, 3)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, D, block_q), lambda b, h, i, *_: (b, h, 0, i)),
+            pl.BlockSpec((1, 1, D, Sp), lambda b, h, i, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, D, Sp), lambda b, h, i, *_: (b, h, 0, 0)),
+            # metadata as [B, 1, Sp]: block dims equal the array dims on the
+            # last two axes, so Mosaic tiling accepts them and the batch row
+            # is selected by the index map (no dynamic sublane indexing)
+            pl.BlockSpec((1, 1, Sp), lambda b, h, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Sp), lambda b, h, i, *_: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, D, block_q),
+                               lambda b, h, i, *_: (b, h, 0, i)),
+    )
+
+    def kernel_squeeze(lp_r, pf_r, q_r, k_r, v_r, seg_r, pad_r, o_r):
+        _attn_kernel(lp_r, pf_r,
+                     q_r.at[0, 0], k_r.at[0, 0], v_r.at[0, 0],
+                     seg_r, pad_r,
+                     o_r.at[0, 0], sm_scale=sm_scale, block_q=block_q,
+                     seq_len=S)
+
+    outT = pl.pallas_call(
+        kernel_squeeze,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, D, Sp), q.dtype),
+        interpret=interpret,
+    )(last_pad.astype(jnp.int32), prefix.astype(jnp.int32),
+      qT, kT, vT, seg.astype(jnp.int32)[:, None, :],
+      pad.astype(jnp.int32)[:, None, :])
+
+    return jnp.swapaxes(outT, 2, 3)[:, :, :S, :]
+
+
+# ---------------------------------------------------------------------------
+# Metadata builders: token sequences -> O(S) kernel metadata
+# ---------------------------------------------------------------------------
+
+def seg_from_soi_eoi(sequence, soi_id: int, eoi_id: int):
+    """Image-span ids (1-based per row, 0 for text) from soi/eoi markers —
+    matches the span semantics of prompting_utils.py:479-481."""
+    is_soi = sequence == soi_id
+    is_eoi = sequence == eoi_id
+    c_soi = jnp.cumsum(is_soi, axis=1)
+    c_eoi = jnp.cumsum(is_eoi, axis=1)
+    inside = (c_soi > c_eoi) | is_soi | is_eoi
+    return jnp.where(inside, c_soi, 0).astype(jnp.int32)
+
+
+def seg_from_modality_positions(modality_positions, L: int):
+    """[B, M, 2] spans -> seg ids [B, L] (v2 omni)."""
+    B, M, _ = modality_positions.shape
+    pos = jnp.arange(L)[None, :, None]
+    off = modality_positions[:, None, :, 0]
+    length = modality_positions[:, None, :, 1]
+    in_span = (pos >= off) & (pos < off + length)   # [B, L, M]
+    sid = jnp.argmax(
+        jnp.where(in_span, jnp.arange(M)[None, None, :] + 1, 0), axis=-1)
+    return jnp.where(in_span.any(-1), sid + 1, 0).astype(jnp.int32)
+
+
+def metadata_predict_next(sequence, pad_id: int, soi_id: int, eoi_id: int):
+    """Metadata reproducing omni_mask_predict_next(rm_pad_in_image=True)
+    for the t2i generation layout (left-padded text + one image span)."""
+    seg = seg_from_soi_eoi(sequence, soi_id, eoi_id)
+    pad = (sequence == pad_id).astype(jnp.int32)
+    L = sequence.shape[1]
+    idx = jnp.arange(L)[None, :]
+    last_pad = jnp.max(jnp.where(pad > 0, idx, -1), axis=1).astype(jnp.int32)
+    prefix = jnp.zeros((sequence.shape[0],), jnp.int32)
+    return seg, pad, last_pad, prefix
+
+
+def metadata_mmu(sequence, eoi_id: int):
+    """Metadata reproducing create_attention_mask_for_mmu: causal + full
+    visibility of columns up to the batch-first eoi."""
+    B, L = sequence.shape
+    is_eoi = sequence == eoi_id
+    idx = jnp.arange(L)[None, :]
+    row_first = jnp.min(jnp.where(is_eoi, idx, L), axis=1)
+    has = is_eoi.any(axis=1)
+    first_row = jnp.argmax(has)
+    eoi_col = row_first[first_row]
+    seg = jnp.zeros((B, L), jnp.int32)
+    pad = jnp.zeros((B, L), jnp.int32)
+    last_pad = jnp.full((B,), -1, jnp.int32)
+    prefix = jnp.full((B,), eoi_col + 1, jnp.int32)
+    return seg, pad, last_pad, prefix
