@@ -369,6 +369,52 @@ def wan_vae_params_from_torch(sd: Mapping[str, np.ndarray], cfg=None) -> dict:
     }
 
 
+def clip_vit_params_from_torch(sd: Mapping[str, np.ndarray],
+                               num_layers: int,
+                               prefix: str = "vision_model.") -> dict:
+    """Map an HF CLIPVisionModel state_dict onto
+    showo_tpu.models.clip_vit pytrees."""
+
+    def g(name):
+        return np.asarray(sd[f"{prefix}{name}"])
+
+    def stack_lin(fmt):
+        return {
+            "kernel": np.stack([linear_kernel(g(fmt.format(i=i) + ".weight"))
+                                for i in range(num_layers)]),
+            "bias": np.stack([g(fmt.format(i=i) + ".bias")
+                              for i in range(num_layers)]),
+        }
+
+    def stack_norm(fmt):
+        return {
+            "scale": np.stack([g(fmt.format(i=i) + ".weight")
+                               for i in range(num_layers)]),
+            "bias": np.stack([g(fmt.format(i=i) + ".bias")
+                              for i in range(num_layers)]),
+        }
+
+    L = "encoder.layers.{i}"
+    return {
+        "patch_embed": {"kernel": conv2d_kernel(
+            g("embeddings.patch_embedding.weight"))},
+        "class_embed": g("embeddings.class_embedding"),
+        "pos_embed": g("embeddings.position_embedding.weight"),
+        "pre_ln": {"scale": g("pre_layrnorm.weight"),
+                   "bias": g("pre_layrnorm.bias")},
+        "layers": {
+            "ln1": stack_norm(f"{L}.layer_norm1"),
+            "ln2": stack_norm(f"{L}.layer_norm2"),
+            "q": stack_lin(f"{L}.self_attn.q_proj"),
+            "k": stack_lin(f"{L}.self_attn.k_proj"),
+            "v": stack_lin(f"{L}.self_attn.v_proj"),
+            "out": stack_lin(f"{L}.self_attn.out_proj"),
+            "fc1": stack_lin(f"{L}.mlp.fc1"),
+            "fc2": stack_lin(f"{L}.mlp.fc2"),
+        },
+    }
+
+
 def _resblock_into(tree: dict, flax_name: str, sd: Mapping, torch_name: str,
                    has_shortcut: bool) -> None:
     sub: dict = {}
