@@ -18,6 +18,7 @@ def main() -> None:
     args = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
     batch = int(args.get("batch", 8))
     timesteps = int(args.get("timesteps", 16))
+    use_pallas = args.get("attn", "dense") == "pallas"
 
     from showo_tpu.models.phi import PhiConfig
     from showo_tpu.models.showo import (
@@ -55,8 +56,10 @@ def main() -> None:
     def generate(params, ids, bias, key):
         return showo_t2i_generate(
             cfg, params, ids, key, uncond_input_ids=ids,
-            attention_bias=bias, guidance_scale=1.75, timesteps=timesteps,
-            max_seq_length=128)
+            attention_bias=None if use_pallas else bias,
+            guidance_scale=1.75, timesteps=timesteps,
+            max_seq_length=128, use_pallas_attention=use_pallas,
+            pad_id=PAD, soi_id=SOI, eoi_id=EOI)
 
     import numpy as np
 

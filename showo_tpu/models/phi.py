@@ -101,8 +101,21 @@ def apply_rope(q, k, cos, sin, rotary_dim):
             jnp.concatenate([k_rot, k_pass], -1))
 
 
-def _attention(q, k, v, bias):
-    """fp32 QK^T and softmax; q,k,v: [B, S, H, Dh]; bias: [B, 1, Q, K]."""
+def _attention(q, k, v, bias, attn_meta=None):
+    """q,k,v: [B, S, H, Dh]; bias: [B, 1, Q, K] additive.
+
+    attn_meta: optional (seg, pad, last_pad, prefix) span metadata — routes
+    to the Pallas fused omni-attention kernel (mask recomputed in-kernel,
+    no S x S bias); None uses the dense fp32-softmax path.
+    """
+    if attn_meta is not None:
+        from showo_tpu.ops.flash_attention import omni_attention
+
+        seg, pad, last_pad, prefix = attn_meta
+        out = omni_attention(jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                             jnp.swapaxes(v, 1, 2), seg, pad, last_pad,
+                             prefix)
+        return jnp.swapaxes(out, 1, 2)
     head_dim = q.shape[-1]
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk",
@@ -143,7 +156,7 @@ def init_phi_params(cfg: PhiConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
 
 def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
            bias: Optional[jnp.ndarray], cos, sin,
-           cache_kv=None, cache_index=None):
+           cache_kv=None, cache_index=None, attn_meta=None):
     """One decoder layer. lp holds this layer's (unstacked) params.
 
     Returns (h_out, (k_full, v_full)) where k_full/v_full are the KV
@@ -173,7 +186,7 @@ def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
         k_att, v_att = k, v
         new_kv = (k, v)
 
-    attn = _attention(q, k_att, v_att, bias).reshape(B, S, D)
+    attn = _attention(q, k_att, v_att, bias, attn_meta).reshape(B, S, D)
     attn = attn @ lp["dense"]["kernel"] + lp["dense"]["bias"]
 
     mlp = jax.nn.gelu(x @ lp["fc1"]["kernel"] + lp["fc1"]["bias"], approximate=True)
@@ -191,12 +204,15 @@ def phi_forward(
     position_ids: Optional[jnp.ndarray] = None,
     cache: Optional[KVCache] = None,
     remat: bool = False,
+    attn_meta=None,
 ):
     """Full forward. Returns (logits, new_cache_or_None).
 
     attention_bias: [B, 1, Q, K] additive mask (already inverted).  When a
     cache is passed, K must equal the cache capacity and the bias must mask
     out positions >= cache.length + Q.
+    attn_meta: optional (seg, pad, last_pad, prefix) span metadata routing
+    attention through the Pallas omni kernel (full-sequence path only).
     """
     if input_embeds is None:
         input_embeds = params["embed"][input_ids]
@@ -222,7 +238,8 @@ def phi_forward(
         new_cache = KVCache(new_k, new_v, cache.length + S)
     else:
         def body(h, lp):
-            h, _ = layer_fn(cfg, lp, h, attention_bias, cos, sin)
+            h, _ = layer_fn(cfg, lp, h, attention_bias, cos, sin, None, None,
+                            attn_meta)
             return h, None
 
         h, _ = jax.lax.scan(body, h, params["layers"])

@@ -83,10 +83,11 @@ def showo_forward(
     attention_bias: Optional[jnp.ndarray] = None,
     cache: Optional[KVCache] = None,
     remat: bool = False,
+    attn_meta=None,
 ):
     return phi_forward(cfg.llm, params["showo"], input_ids=input_ids,
                        input_embeds=input_embeds, attention_bias=attention_bias,
-                       cache=cache, remat=remat)
+                       cache=cache, remat=remat, attn_meta=attn_meta)
 
 
 def showo_losses(
@@ -136,12 +137,30 @@ def showo_t2i_generate(
     noise_schedule=cosine_schedule,
     max_seq_length: int = 128,
     injected_noise=None,
+    use_pallas_attention: bool = False,
+    pad_id: int = 50295,
+    soi_id: int = 50296,
+    eoi_id: int = 50297,
 ):
-    """MaskGIT generation (modeling_showo.py:104-181) as a compiled loop."""
+    """MaskGIT generation (modeling_showo.py:104-181) as a compiled loop.
+
+    use_pallas_attention routes attention through the fused omni kernel;
+    the span metadata is computed once from the initial layout (special
+    tokens and pads never move during MaskGIT denoising).
+    """
+    attn_meta = None
+    if use_pallas_attention:
+        from showo_tpu.ops.flash_attention import metadata_predict_next
+
+        meta_ids = (jnp.concatenate([input_ids, uncond_input_ids], axis=0)
+                    if uncond_input_ids is not None and guidance_scale > 0
+                    else input_ids)
+        attn_meta = metadata_predict_next(meta_ids, pad_id, soi_id, eoi_id)
 
     def forward_fn(ids):
         logits, _ = showo_forward(cfg, params, input_ids=ids,
-                                  attention_bias=attention_bias)
+                                  attention_bias=attention_bias,
+                                  attn_meta=attn_meta)
         return logits
 
     return maskgit_generate(
