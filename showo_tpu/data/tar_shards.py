@@ -38,6 +38,39 @@ def brace_expand(pattern: str) -> List[str]:
     return out
 
 
+def iterate_tar_samples_native(path: str, num_threads: int = 4
+                               ) -> Iterator[Dict[str, bytes]]:
+    """Native-indexed variant of :func:`iterate_tar_samples`: one pass over
+    tar headers in C++ (native/tario.cpp), then batched parallel preads of
+    each sample's members."""
+    from showo_tpu.data.native_tar import TarIndex
+
+    try:
+        idx = TarIndex(path)
+    except Exception as e:
+        logger.warning("native index failed for %s (%s); python fallback",
+                       path, e)
+        yield from iterate_tar_samples(path)
+        return
+
+    groups: Dict[str, list] = {}
+    order: list = []
+    for i, name in enumerate(idx.names):
+        key, _, ext = name.rpartition(".")
+        if key not in groups:
+            groups[key] = []
+            order.append(key)
+        groups[key].append((ext.lower(), i))
+
+    for key in order:
+        members = groups[key]
+        datas = idx.read([i for _, i in members], num_threads=num_threads)
+        sample: Dict[str, bytes] = {ext: d for (ext, _), d in zip(members, datas)}
+        sample["__key__"] = key
+        sample["__url__"] = path
+        yield sample
+
+
 def iterate_tar_samples(path: str) -> Iterator[Dict[str, bytes]]:
     """Group tar members by basename key: {ext: bytes, '__key__': key}."""
     try:
@@ -96,7 +129,7 @@ class Text2ImageTarDataset:
                  shuffle_buffer: int = 1000, seed: int = 0,
                  caption_fn: Optional[Callable] = None,
                  clean_caption: bool = True, resample: bool = True,
-                 shard_for_host: bool = True):
+                 shard_for_host: bool = True, use_native: bool = True):
         self.shards = brace_expand(shard_pattern)
         if shard_for_host:
             from showo_tpu.data.loader import shard_for_process
@@ -109,6 +142,7 @@ class Text2ImageTarDataset:
         self.caption_fn = caption_fn
         self.clean_caption = clean_caption
         self.resample = resample
+        self.use_native = use_native
 
     def _shard_stream(self) -> Iterator[str]:
         rng = np.random.default_rng(self.seed)
@@ -154,9 +188,12 @@ class Text2ImageTarDataset:
     def __iter__(self):
         from showo_tpu.data.loader import ShuffleBuffer
 
+        reader = (iterate_tar_samples_native if self.use_native
+                  else iterate_tar_samples)
+
         def raw():
             for shard in self._shard_stream():
-                for s in iterate_tar_samples(shard):
+                for s in reader(shard):
                     decoded = self._decode(s)
                     if decoded is not None:
                         yield decoded
