@@ -109,9 +109,20 @@ def _rms_norm_affine(x, scale, eps=1e-6):
 
 
 def embed_images(cfg: Showo2Config, params, latents_nchw: jnp.ndarray):
-    """Dual-path embedding + fusion.  latents: [B*M or B, C, H, W] ->
-    [same, N, D_llm] where N = (H/p)(W/p)."""
-    x = jnp.transpose(latents_nchw, (0, 2, 3, 1))  # NHWC
+    """Dual-path embedding + fusion.
+
+    Image latents [B, C, H, W] -> [B, N, D_llm], N = (H/p)(W/p).
+    Video latents [B, C, T, H, W] -> [B, T*N, D_llm]: the und path runs
+    SigLIP per frame, the gen path embeds jointly over (t l)
+    (modeling_showo2_qwen2_5.py:188-198, 292-302).
+    """
+    is_video = latents_nchw.ndim == 5
+    if is_video:
+        B, C, T, H, W = latents_nchw.shape
+        x = jnp.transpose(latents_nchw, (0, 2, 3, 4, 1)).reshape(
+            B * T, H, W, C)  # (b t) h w c
+    else:
+        x = jnp.transpose(latents_nchw, (0, 2, 3, 1))  # NHWC
     und = patch_embed_apply(params["image_embedder_und"], x, cfg.patch_size)
     gen = patch_embed_apply(params["image_embedder_gen"], x, cfg.patch_size)
 
@@ -128,26 +139,41 @@ def embed_images(cfg: Showo2Config, params, latents_nchw: jnp.ndarray):
     fused = _rms_norm_affine(fused, fp["norm"]["scale"])
     fused = fused @ fp["fc1"]["kernel"] + fp["fc1"]["bias"]
     fused = jax.nn.gelu(fused, approximate=False)
-    return fused @ fp["fc2"]["kernel"] + fp["fc2"]["bias"]
+    fused = fused @ fp["fc2"]["kernel"] + fp["fc2"]["bias"]
+    if is_video:
+        return fused.reshape(B, T * fused.shape[1], fused.shape[-1])
+    return fused
 
 
 def patchify_labels(cfg: Showo2Config, labels_nchw: jnp.ndarray):
     """Reference label 'patchify' — the exact reshape chain at
-    modeling_showo2_qwen2_5.py:329-332 (a pure reshape, not a spatial
-    patch extraction; its inverse is unpatchify below)."""
-    b, c, H, W = labels_nchw.shape
+    modeling_showo2_qwen2_5.py:329-337 (a pure reshape, not a spatial
+    patch extraction; its inverse is unpatchify below).  Accepts image
+    [B, C, H, W] or video [B, C, T, H, W] labels."""
     p = cfg.patch_size
+    if labels_nchw.ndim == 5:
+        b, c, T, H, W = labels_nchw.shape
+        h_, w_ = H // p, W // p
+        x = jnp.transpose(labels_nchw.reshape(b, c, T * H * W), (0, 2, 1))
+        x = x.reshape(b, T, h_, w_, p, p, c)
+        return x.reshape(b, T * h_ * w_, p * p * c)
+    b, c, H, W = labels_nchw.shape
     h_, w_ = H // p, W // p
     x = jnp.transpose(labels_nchw.reshape(b, c, H * W), (0, 2, 1))  # b (h w) c
     x = x.reshape(b, h_, w_, p, p, c)
     return x.reshape(b, h_ * w_, p * p * c)
 
 
-def unpatchify_v(cfg: Showo2Config, v: jnp.ndarray, h_: int, w_: int):
-    """(N, T, p^2 C) -> (N, C, H, W) via the mirrored reshape chain
-    (modeling_showo2_qwen2_5.py:145-158, 429-430)."""
+def unpatchify_v(cfg: Showo2Config, v: jnp.ndarray, h_: int, w_: int,
+                 T: int = 0):
+    """(N, L, p^2 C) -> (N, C, H, W) (or (N, C, T, H, W) for video) via the
+    mirrored reshape chain (modeling_showo2_qwen2_5.py:145-158, 426-433)."""
     n = v.shape[0]
     p, c = cfg.patch_size, cfg.image_latent_dim
+    if T:
+        x = v.reshape(n, T, h_, w_, p, p, c).reshape(n, T, h_ * p * w_ * p, c)
+        x = jnp.transpose(x, (0, 3, 1, 2))  # b c t l
+        return x.reshape(n, c, T, h_ * p, w_ * p)
     x = v.reshape(n, h_, w_, p, p, c).reshape(n, h_ * p * w_ * p, c)
     x = jnp.transpose(x, (0, 2, 1))
     return x.reshape(n, c, h_ * p, w_ * p)
@@ -255,15 +281,19 @@ def showo2_forward(
 
 
 def extract_v(cfg: Showo2Config, v_seq: jnp.ndarray,
-              modality_positions: jnp.ndarray, h_: int, w_: int):
+              modality_positions: jnp.ndarray, h_: int, w_: int,
+              num_frames: int = 0):
     """Per-image velocity extraction + unpatchify
     (modeling_showo2_qwen2_5.py:410-433).  Assumes every span is a real
-    image (generation-time layout).  Returns [B*M, C, H, W]."""
-    T = cfg.num_image_tokens
-    spans = modality_gather(v_seq, modality_positions, T)  # [B*M, T, p^2C]
+    image (generation-time layout).  Returns [B*M, C, H, W] (or
+    [B*M, C, T, H, W] with num_frames > 0)."""
+    per_frame = h_ * w_
+    span = (max(num_frames, 1) * per_frame
+            + (1 if cfg.add_time_embeds else 0))
+    spans = modality_gather(v_seq, modality_positions, span)
     if cfg.add_time_embeds:
         spans = spans[:, 1:, :]
-    return unpatchify_v(cfg, spans, h_, w_)
+    return unpatchify_v(cfg, spans, h_, w_, T=num_frames)
 
 
 def showo2_t2i_velocity(
@@ -277,21 +307,26 @@ def showo2_t2i_velocity(
     guidance_scale: float = 0.0,
     first_frame_as_cond: bool = False,
     only_denoise_last_image: bool = False,
+    num_frames: int = 0,
 ):
     """One velocity evaluation with CFG (t2i_generate, :467-514).
 
     When guidance_scale > 0, text_tokens/latents/t are the doubled
     [cond; uncond] batch and the returned v is the guided field duplicated
     to both halves (as the reference does for the ODE integrator).
+    num_frames > 0 selects the video path ([.., C, T, H, W] latents).
     """
     out = showo2_forward(cfg, params, text_tokens, image_latents, t,
                          attention_bias, modality_positions)
     h_ = cfg.image_latent_height // cfg.patch_size
     w_ = cfg.image_latent_width // cfg.patch_size
-    v = extract_v(cfg, out["v_seq"], modality_positions, h_, w_)
+    v = extract_v(cfg, out["v_seq"], modality_positions, h_, w_,
+                  num_frames=num_frames)
 
     if first_frame_as_cond:
-        raise NotImplementedError("video path lands with the video trainer")
+        # i2v: zero the v-prediction for the conditioning first frame
+        # (modeling_showo2_qwen2_5.py:436-441)
+        v = v.at[:, :, :1].set(0.0)
 
     if only_denoise_last_image:
         # zero v for all but the last image (history kept clean),
