@@ -205,6 +205,7 @@ def phi_forward(
     cache: Optional[KVCache] = None,
     remat: bool = False,
     attn_meta=None,
+    lm_head_slice=None,
 ):
     """Full forward. Returns (logits, new_cache_or_None).
 
@@ -213,6 +214,10 @@ def phi_forward(
     out positions >= cache.length + Q.
     attn_meta: optional (seg, pad, last_pad, prefix) span metadata routing
     attention through the Pallas omni kernel (full-sequence path only).
+    lm_head_slice: optional (row_lo, row_hi, col_lo, col_hi) — compute
+    logits only for those sequence rows / vocab columns (e.g. image
+    positions x codebook slice during MaskGIT, a ~14x smaller head matmul
+    than the full unified vocab).
     """
     if input_embeds is None:
         input_embeds = params["embed"][input_ids]
@@ -247,5 +252,11 @@ def phi_forward(
 
     h = layer_norm(h, params["final_ln"]["scale"], params["final_ln"]["bias"],
                    cfg.layer_norm_eps)
-    logits = h @ params["lm_head"]["kernel"] + params["lm_head"]["bias"]
+    kernel, bias_h = params["lm_head"]["kernel"], params["lm_head"]["bias"]
+    if lm_head_slice is not None:
+        r0, r1, c0, c1 = lm_head_slice
+        h = h[:, r0:r1]
+        kernel = kernel[:, c0:c1]
+        bias_h = bias_h[c0:c1]
+    logits = h @ kernel + bias_h
     return logits, new_cache

@@ -141,6 +141,7 @@ def showo_t2i_generate(
     pad_id: int = 50295,
     soi_id: int = 50296,
     eoi_id: int = 50297,
+    sliced_head: bool = True,
 ):
     """MaskGIT generation (modeling_showo.py:104-181) as a compiled loop.
 
@@ -157,14 +158,25 @@ def showo_t2i_generate(
                     else input_ids)
         attn_meta = metadata_predict_next(meta_ids, pad_id, soi_id, eoi_id)
 
+    L = input_ids.shape[1]
+    head_slice = None
+    if sliced_head:
+        # only image rows x codebook columns are sampled from — skip the
+        # rest of the unified-vocab head matmul (~14x smaller)
+        head_slice = (L - cfg.num_vq_tokens - 1, L - 1,
+                      cfg.codebook_offset,
+                      cfg.codebook_offset + cfg.codebook_size)
+
     def forward_fn(ids):
-        logits, _ = showo_forward(cfg, params, input_ids=ids,
-                                  attention_bias=attention_bias,
-                                  attn_meta=attn_meta)
+        logits, _ = phi_forward(cfg.llm, params["showo"], input_ids=ids,
+                                attention_bias=attention_bias,
+                                attn_meta=attn_meta,
+                                lm_head_slice=head_slice)
         return logits
 
     return maskgit_generate(
         forward_fn, input_ids, key,
+        forward_returns_sliced=sliced_head,
         uncond_input_ids=uncond_input_ids,
         num_vq_tokens=cfg.num_vq_tokens,
         mask_token_id=cfg.mask_token_id,

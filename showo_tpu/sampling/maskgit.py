@@ -54,6 +54,7 @@ def maskgit_generate(
     temperature: float = 1.0,
     noise_schedule=cosine_schedule,
     injected_noise=None,
+    forward_returns_sliced: bool = False,
 ):
     """Generate image tokens by iterative parallel decoding.
 
@@ -94,8 +95,10 @@ def maskgit_generate(
             logits = (1 + guidance_scale) * cond_logits - guidance_scale * uncond_logits
         else:
             logits = forward_fn(input_ids)
-        # image rows, codebook columns (excludes the trailing mask token id)
-        logits = logits[:, img_lo:L - 1, codebook_offset:codebook_offset + codebook_size]
+        if not forward_returns_sliced:
+            # image rows, codebook columns (excl. the trailing mask token)
+            logits = logits[:, img_lo:L - 1,
+                            codebook_offset:codebook_offset + codebook_size]
 
         probs = jax.nn.softmax(logits, axis=-1)
         if injected_noise is not None:
