@@ -46,9 +46,11 @@ def get_lr_schedule(
     if name == "cosine":
         def fn(step):
             step = jnp.asarray(step, jnp.float32)
-            progress = jnp.clip(
-                (step - num_warmup_steps)
-                / max(1, num_training_steps - num_warmup_steps), 0.0, 1.0)
+            # progress deliberately NOT clipped at 1: the reference LambdaLR
+            # keeps evaluating the cosine past num_training_steps
+            # (lr_schedulers.py get_cosine_schedule_with_warmup)
+            progress = ((step - num_warmup_steps)
+                        / max(1, num_training_steps - num_warmup_steps))
             cos = jnp.maximum(
                 0.0, 0.5 * (1.0 + jnp.cos(math.pi * num_cycles * 2.0 * progress)))
             return base_lr * jnp.where(step < num_warmup_steps,
