@@ -229,3 +229,90 @@ class ShowoTrainer:
             if self.global_step >= max_steps:
                 break
         return self.state
+
+
+def _build_loaders(config, tokenizer):
+    """Dataloaders per config (train.py:271-412): t2i from ImageNet folder
+    or tar shards, mmu from tar shards, lm from parquet."""
+    from showo_tpu.data.loader import DataLoader
+    from showo_tpu.data.refinedweb import RefinedWebDataset
+    from showo_tpu.data.tar_shards import Text2ImageTarDataset
+
+    p = config.dataset.params
+    res = p.resolution
+    tr = config.training
+
+    if config.dataset.gen_type == "imagenet1k":
+        from showo_tpu.data.imagenet import ImageNetDataset
+
+        t2i_ds = ImageNetDataset(p.train_t2i_shards_path_or_url, res)
+        t2i_iter = lambda: iter(t2i_ds)
+    else:
+        t2i_ds = Text2ImageTarDataset(p.train_t2i_shards_path_or_url, res,
+                                      p.get("shuffle_buffer_size", 1000))
+        t2i_iter = lambda: iter(t2i_ds)
+    t2i_loader = DataLoader(t2i_iter, tr.batch_size_t2i)
+
+    mmu_ds = Text2ImageTarDataset(p.train_mmu_shards_path_or_url, res,
+                                  p.get("shuffle_buffer_size", 1000))
+    mmu_loader = DataLoader(lambda: iter(mmu_ds), tr.batch_size_mmu)
+
+    import jax
+
+    lm_ds = RefinedWebDataset(p.train_lm_shards_path_or_url,
+                              rank=jax.process_index(),
+                              world_size=jax.process_count())
+    lm_loader = DataLoader(lambda: iter(lm_ds), tr.batch_size_lm)
+    return t2i_loader, lm_loader, mmu_loader
+
+
+def main() -> None:
+    """CLI: python -m showo_tpu.training.train_showo config=configs/showo_pretraining_stage1.yaml"""
+    from showo_tpu.config import get_config
+    from showo_tpu.inference_t2i import (build_showo_config, load_params,
+                                         load_tokenizer, load_vq)
+    from showo_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    from showo_tpu.prompting import UniversalPrompting
+
+    config = get_config()
+    cfg = build_showo_config(config)
+    params = load_params(config, cfg)
+    vq_cfg, vq_params = load_vq(config)
+    tokenizer = load_tokenizer(config)
+    uni = UniversalPrompting(
+        tokenizer, max_text_len=config.dataset.preprocessing.max_seq_length,
+        cond_dropout_prob=config.training.cond_dropout_prob)
+
+    par = config.get("parallel", {}) or {}
+    mesh = make_mesh(dp=par.get("dp"), fsdp=par.get("fsdp", 1),
+                     tp=par.get("tp", 1))
+    with jax.set_mesh(mesh):
+        params = shard_params(params, mesh)
+        trainer = ShowoTrainer(config=config, cfg=cfg, vq_cfg=vq_cfg,
+                               params=params, vq_params=vq_params,
+                               uni_prompting=uni, mesh=mesh)
+
+        # resume
+        if config.experiment.get("resume_from_checkpoint") == "latest":
+            from showo_tpu.utils.checkpoint import resume_latest
+
+            state, step = resume_latest(config.experiment.output_dir,
+                                        trainer.state)
+            if state is not None:
+                trainer.state = jax.tree.map(jnp.asarray, state)
+                trainer.global_step = step
+                logger.info("resumed from step %d", step)
+
+        t2i_loader, lm_loader, mmu_loader = _build_loaders(config, tokenizer)
+        trainer.fit(t2i_loader, lm_loader, mmu_loader,
+                    max_steps=config.training.max_train_steps,
+                    log_every=config.experiment.get("log_every", 50),
+                    save_every=config.experiment.get("save_every"),
+                    output_dir=config.experiment.output_dir,
+                    checkpoints_total_limit=config.experiment.get(
+                        "checkpoints_total_limit"),
+                    seed=config.training.get("seed", 0))
+
+
+if __name__ == "__main__":
+    main()
