@@ -95,11 +95,17 @@ def main() -> None:
 
     ckpt = config.model.showo.pretrained_model_path
     if ckpt != "random" and os.path.exists(str(ckpt)):
-        raise SystemExit("HF Showo2 weight import: use "
-                         "showo_tpu.utils.checkpoint helpers (round 2)")
-    logger.warning("random-init Showo2 (checkpoint %s not found)", ckpt)
-    params = jax.jit(lambda k: init_showo2_params(cfg, k, jnp.bfloat16))(
-        jax.random.PRNGKey(0))
+        from showo_tpu.utils.checkpoint import _load_dir_or_file
+        from showo_tpu.utils.torch_import import showo2_params_from_torch
+
+        logger.info("importing Showo2 weights from %s", ckpt)
+        params = jax.tree.map(
+            lambda x: jnp.asarray(x, jnp.bfloat16),
+            showo2_params_from_torch(_load_dir_or_file(str(ckpt))))
+    else:
+        logger.warning("random-init Showo2 (checkpoint %s not found)", ckpt)
+        params = jax.jit(lambda k: init_showo2_params(cfg, k, jnp.bfloat16))(
+            jax.random.PRNGKey(0))
 
     vae_cfg = WanVAEConfig()
     vae_path = config.model.vae_model.pretrained_model_path

@@ -415,6 +415,52 @@ def clip_vit_params_from_torch(sd: Mapping[str, np.ndarray],
     }
 
 
+def showo2_params_from_torch(sd: Mapping[str, np.ndarray],
+                             num_llm_layers: int = 28,
+                             num_siglip_layers: int = 26,
+                             num_dit_layers: int = 10,
+                             tied: bool = True,
+                             has_diff_proj: bool = True) -> dict:
+    """Map a full reference Showo2Qwen2_5 state_dict
+    (show-o2/models/modeling_showo2_qwen2_5.py) onto
+    showo_tpu.show_o2.showo2 pytrees."""
+
+    def g(name):
+        return np.asarray(sd[name])
+
+    def lin(name):
+        return {"kernel": linear_kernel(g(f"{name}.weight")),
+                "bias": g(f"{name}.bias")}
+
+    params = {
+        "showo": qwen2_params_from_torch(sd, num_llm_layers, "showo.", tied),
+        "image_embedder_und": {
+            "kernel": conv2d_kernel(g("image_embedder_und.proj.weight")),
+            "bias": g("image_embedder_und.proj.bias")},
+        "image_embedder_gen": {
+            "kernel": conv2d_kernel(g("image_embedder_gen.proj.weight")),
+            "bias": g("image_embedder_gen.proj.bias")},
+        "und_trans": siglip_params_from_torch(
+            sd, num_siglip_layers, "und_trans.",
+            pos_embed=g("position_embedding.weight")),
+        "fusion_proj": {
+            "norm": {"scale": g("fusion_proj.0.weight")},
+            "fc1": lin("fusion_proj.1"),
+            "fc2": lin("fusion_proj.3"),
+        },
+        "time_embed": time_embed_params_from_torch(sd, "time_embed."),
+        "diffusion_head_a": dit_params_from_torch(sd, num_dit_layers,
+                                                  "diffusion_head_a."),
+        "diffusion_head_b": final_layer_params_from_torch(
+            sd, "diffusion_head_b."),
+    }
+    if has_diff_proj and "diff_proj.0.weight" in sd:
+        params["diff_proj"] = {"fc1": lin("diff_proj.0"),
+                               "fc2": lin("diff_proj.2")}
+        params["time_embed_proj"] = lin("time_embed_proj")
+    return params
+
+
 def _resblock_into(tree: dict, flax_name: str, sd: Mapping, torch_name: str,
                    has_shortcut: bool) -> None:
     sub: dict = {}
