@@ -53,7 +53,7 @@ def test_ema_schedule():
     # decay approaches but never exceeds cfg.decay
     from showo_tpu.training.ema import ema_decay
 
-    assert float(ema_decay(cfg, jnp.asarray(10000))) == 0.9
+    assert abs(float(ema_decay(cfg, jnp.asarray(10000))) - 0.9) < 1e-6
 
 
 def test_lion_step():
