@@ -19,6 +19,7 @@ def main() -> None:
     batch = int(args.get("batch", 8))
     timesteps = int(args.get("timesteps", 16))
     use_pallas = args.get("attn", "dense") == "pallas"
+    mode = args.get("mode", "cached")  # cached = prefix-KV MaskGIT
 
     from showo_tpu.models.phi import PhiConfig
     from showo_tpu.models.showo import (
@@ -52,8 +53,15 @@ def main() -> None:
 
     # everything is a jit argument: closure constants are serialized into
     # the lowered HLO, which is pathologically slow through a device tunnel
+    from showo_tpu.models.showo import showo_t2i_generate_cached
+
     @jax.jit
     def generate(params, ids, bias, key):
+        if mode == "cached":
+            return showo_t2i_generate_cached(
+                cfg, params, ids, key, uncond_input_ids=ids,
+                attention_bias=bias, guidance_scale=1.75,
+                timesteps=timesteps, max_seq_length=128)
         return showo_t2i_generate(
             cfg, params, ids, key, uncond_input_ids=ids,
             attention_bias=None if use_pallas else bias,

@@ -194,6 +194,79 @@ def showo_t2i_generate(
     )
 
 
+def showo_t2i_generate_cached(
+    cfg: ShowoConfig,
+    params: Dict[str, Any],
+    input_ids: jnp.ndarray,
+    key: jax.Array,
+    *,
+    uncond_input_ids: Optional[jnp.ndarray] = None,
+    attention_bias: jnp.ndarray,
+    guidance_scale: float = 0.0,
+    temperature: float = 1.0,
+    timesteps: int = 18,
+    noise_schedule=cosine_schedule,
+    max_seq_length: int = 128,
+    injected_noise=None,
+):
+    """MaskGIT generation with a prefix KV cache.
+
+    The text prefix (pads + task + text, positions < max_seq_length+1) is
+    constant across denoise steps and its keys/values only depend on
+    itself, so it is prefilled ONCE; each step re-forwards only the
+    soi..eoi image span (S: 387 -> 258 rows at 256^2) attending to the
+    cached prefix.  Bit-identical outputs to showo_t2i_generate — pure
+    compute reuse, no approximation.
+    """
+    from showo_tpu.sampling.maskgit import maskgit_generate
+
+    B, L = input_ids.shape
+    P = max_seq_length + 1          # prefix length
+    Q = L - P                       # soi + image + eoi rows
+    use_cfg = uncond_input_ids is not None and guidance_scale > 0
+    if use_cfg:
+        full_prefix = jnp.concatenate(
+            [input_ids[:, :P], uncond_input_ids[:, :P]], axis=0)
+    else:
+        full_prefix = input_ids[:, :P]
+    Bf = full_prefix.shape[0]
+
+    # prefill the prefix rows once
+    cache = KVCache.zeros(cfg.llm, Bf, L, dtype=params["showo"]["embed"].dtype)
+    prefix_bias = attention_bias[:, :, :P, :]
+    _, cache = showo_forward(cfg, params, input_ids=full_prefix,
+                             attention_bias=prefix_bias, cache=cache)
+    cache = KVCache(cache.k, cache.v, jnp.asarray(P, jnp.int32))
+
+    step_bias = attention_bias[:, :, P:, :]
+    head_slice = (1, 1 + cfg.num_vq_tokens,   # img rows within the Q slice
+                  cfg.codebook_offset,
+                  cfg.codebook_offset + cfg.codebook_size)
+
+    def forward_fn(ids):
+        logits, _ = phi_forward(cfg.llm, params["showo"],
+                                input_ids=ids[:, P:],
+                                attention_bias=step_bias, cache=cache,
+                                lm_head_slice=head_slice)
+        return logits
+
+    return maskgit_generate(
+        forward_fn, input_ids, key,
+        forward_returns_sliced=True,
+        uncond_input_ids=uncond_input_ids,
+        num_vq_tokens=cfg.num_vq_tokens,
+        mask_token_id=cfg.mask_token_id,
+        codebook_offset=cfg.codebook_offset,
+        codebook_size=cfg.codebook_size,
+        prompt_len=P,
+        timesteps=timesteps,
+        guidance_scale=guidance_scale,
+        temperature=temperature,
+        noise_schedule=noise_schedule,
+        injected_noise=injected_noise,
+    )
+
+
 def showo_mmu_generate(
     cfg: ShowoConfig,
     params: Dict[str, Any],
