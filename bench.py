@@ -3,7 +3,9 @@
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline north star: 150 images/min/chip (BASELINE.md).
 
-Run on the real chip:  python bench.py  [batch=8] [timesteps=16]
+Run on the real chip:  python bench.py  [batch=4] [timesteps=16]
+Secondary metrics:     python bench.py metric=mmu   (decode tok/s)
+                       python bench.py metric=vq    (VQ encode Mpix/s)
 """
 
 import json
@@ -14,9 +16,86 @@ import jax
 import jax.numpy as jnp
 
 
+def bench_mmu(args) -> None:
+    """AR decode tok/s with KV cache on the flagship model."""
+    import numpy as np
+
+    from showo_tpu.models.showo import (ShowoConfig, init_showo_params,
+                                        showo_mmu_generate)
+    from showo_tpu.ops.masks import omni_mask_mmu
+
+    cfg = ShowoConfig()
+    params = jax.jit(lambda k: init_showo_params(cfg, k, jnp.bfloat16))(
+        jax.random.PRNGKey(0))
+    B = int(args.get("batch", 1))
+    max_new = int(args.get("max_new_tokens", 128))
+    SOI, EOI, MMU = 50296, 50297, 50300
+    rng = jax.random.PRNGKey(1)
+    img = jax.random.randint(rng, (B, 256), 50305, 58497)
+    q = jax.random.randint(rng, (B, 32), 2, 50000)
+    prompt = jnp.concatenate([jnp.full((B, 1), MMU), jnp.full((B, 1), SOI),
+                              img, jnp.full((B, 1), EOI), q], axis=1
+                             ).astype(jnp.int32)
+    bias = omni_mask_mmu(prompt, eoi_id=EOI, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def gen(params, prompt, bias, key):
+        toks, _ = showo_mmu_generate(cfg, params, prompt, key,
+                                     prompt_bias=bias,
+                                     max_new_tokens=max_new, top_k=1)
+        return toks
+
+    np.asarray(gen(params, prompt, bias, jax.random.PRNGKey(2)))
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = gen(params, prompt, bias, jax.random.PRNGKey(3 + i))
+    np.asarray(out)
+    dt = (time.perf_counter() - t0) / iters
+    tok_s = B * max_new / dt
+    print(json.dumps({"metric": "mmu_decode_tok_per_s_kv_cache",
+                      "value": round(tok_s, 2), "unit": "tok/s",
+                      "vs_baseline": None}))
+
+
+def bench_vq(args) -> None:
+    """MAGVIT-v2 VQ encode megapixels/s."""
+    import numpy as np
+
+    from showo_tpu.models.magvit import MagvitV2, VQConfig
+
+    res = int(args.get("resolution", 256))
+    B = int(args.get("batch", 16))
+    vq = MagvitV2(VQConfig())
+    params = vq.init(jax.random.PRNGKey(0), jnp.zeros((1, res, res, 3)))["params"]
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    pixels = jax.random.normal(jax.random.PRNGKey(1), (B, res, res, 3),
+                               jnp.bfloat16)
+
+    @jax.jit
+    def enc(params, pixels):
+        return vq.apply({"params": params}, pixels, method=vq.get_code)
+
+    np.asarray(enc(params, pixels))
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = enc(params, pixels)
+    np.asarray(out)
+    dt = (time.perf_counter() - t0) / iters
+    mpix_s = B * res * res / dt / 1e6
+    print(json.dumps({"metric": f"vq_encode_mpix_per_s_{res}px",
+                      "value": round(mpix_s, 2), "unit": "Mpix/s",
+                      "vs_baseline": None}))
+
+
 def main() -> None:
     args = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
-    batch = int(args.get("batch", 8))
+    if args.get("metric") == "mmu":
+        return bench_mmu(args)
+    if args.get("metric") == "vq":
+        return bench_vq(args)
+    batch = int(args.get("batch", 4))
     timesteps = int(args.get("timesteps", 16))
     use_pallas = args.get("attn", "dense") == "pallas"
     mode = args.get("mode", "cached")  # cached = prefix-KV MaskGIT
@@ -61,7 +140,9 @@ def main() -> None:
             return showo_t2i_generate_cached(
                 cfg, params, ids, key, uncond_input_ids=ids,
                 attention_bias=bias, guidance_scale=1.75,
-                timesteps=timesteps, max_seq_length=128)
+                timesteps=timesteps, max_seq_length=128,
+                use_pallas_attention=use_pallas,
+                pad_id=PAD, soi_id=SOI, eoi_id=EOI)
         return showo_t2i_generate(
             cfg, params, ids, key, uncond_input_ids=ids,
             attention_bias=None if use_pallas else bias,

@@ -101,12 +101,13 @@ def apply_rope(q, k, cos, sin, rotary_dim):
             jnp.concatenate([k_rot, k_pass], -1))
 
 
-def _attention(q, k, v, bias, attn_meta=None):
+def _attention(q, k, v, bias, attn_meta=None, q_positions=None):
     """q,k,v: [B, S, H, Dh]; bias: [B, 1, Q, K] additive.
 
     attn_meta: optional (seg, pad, last_pad, prefix) span metadata — routes
     to the Pallas fused omni-attention kernel (mask recomputed in-kernel,
-    no S x S bias); None uses the dense fp32-softmax path.
+    no S x S bias); None uses the dense fp32-softmax path.  q_positions
+    enables the Q != K prefix-cached kernel path.
     """
     if attn_meta is not None:
         from showo_tpu.ops.flash_attention import omni_attention
@@ -114,7 +115,7 @@ def _attention(q, k, v, bias, attn_meta=None):
         seg, pad, last_pad, prefix = attn_meta
         out = omni_attention(jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
                              jnp.swapaxes(v, 1, 2), seg, pad, last_pad,
-                             prefix)
+                             prefix, q_positions=q_positions)
         return jnp.swapaxes(out, 1, 2)
     head_dim = q.shape[-1]
     scores = jnp.einsum(
@@ -182,11 +183,15 @@ def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
         cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
         k_att, v_att = ck, cv
         new_kv = (ck, cv)
+        q_positions = (cache_index + jnp.arange(S)
+                       if attn_meta is not None else None)
     else:
         k_att, v_att = k, v
         new_kv = (k, v)
+        q_positions = None
 
-    attn = _attention(q, k_att, v_att, bias, attn_meta).reshape(B, S, D)
+    attn = _attention(q, k_att, v_att, bias, attn_meta,
+                      q_positions).reshape(B, S, D)
     attn = attn @ lp["dense"]["kernel"] + lp["dense"]["bias"]
 
     mlp = jax.nn.gelu(x @ lp["fc1"]["kernel"] + lp["fc1"]["bias"], approximate=True)
@@ -235,7 +240,7 @@ def phi_forward(
         def body(h, xs):
             lp, layer_kv = xs
             h, new_kv = layer_fn(cfg, lp, h, attention_bias, cos, sin,
-                                 layer_kv, cache.length)
+                                 layer_kv, cache.length, attn_meta)
             return h, new_kv
 
         h, (new_k, new_v) = jax.lax.scan(body, h, (params["layers"],

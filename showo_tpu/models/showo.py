@@ -208,6 +208,10 @@ def showo_t2i_generate_cached(
     noise_schedule=cosine_schedule,
     max_seq_length: int = 128,
     injected_noise=None,
+    use_pallas_attention: bool = False,
+    pad_id: int = 50295,
+    soi_id: int = 50296,
+    eoi_id: int = 50297,
 ):
     """MaskGIT generation with a prefix KV cache.
 
@@ -231,6 +235,14 @@ def showo_t2i_generate_cached(
         full_prefix = input_ids[:, :P]
     Bf = full_prefix.shape[0]
 
+    attn_meta = None
+    if use_pallas_attention:
+        from showo_tpu.ops.flash_attention import metadata_predict_next
+
+        meta_ids = (jnp.concatenate([input_ids, uncond_input_ids], axis=0)
+                    if use_cfg else input_ids)
+        attn_meta = metadata_predict_next(meta_ids, pad_id, soi_id, eoi_id)
+
     # prefill the prefix rows once
     cache = KVCache.zeros(cfg.llm, Bf, L, dtype=params["showo"]["embed"].dtype)
     prefix_bias = attention_bias[:, :, :P, :]
@@ -247,7 +259,8 @@ def showo_t2i_generate_cached(
         logits, _ = phi_forward(cfg.llm, params["showo"],
                                 input_ids=ids[:, P:],
                                 attention_bias=step_bias, cache=cache,
-                                lm_head_slice=head_slice)
+                                lm_head_slice=head_slice,
+                                attn_meta=attn_meta)
         return logits
 
     return maskgit_generate(

@@ -40,26 +40,27 @@ NEG_INF = -1e30
 
 
 def _attn_kernel(lastpad_ref, prefix_ref,  # scalar prefetch (SMEM)
-                 qT_ref, kT_ref, vT_ref, seg_ref, pad_ref, oT_ref,
+                 qT_ref, kT_ref, vT_ref, seg_ref, pad_ref,
+                 segq_ref, posq_ref, oT_ref,
                  *, sm_scale, block_q, seq_len):
     """Transposed layout: qT [D, BQ], kT/vT [D, S], out [D, BQ] — lanes are
     always S or BQ (multiples of 128), satisfying Mosaic tiling for any
-    head_dim."""
+    head_dim.  segq/posq carry the q rows' segment ids and absolute
+    positions, enabling Q != K (prefix-cached decode)."""
     b = pl.program_id(0)
-    qi = pl.program_id(2)
 
     qT = qT_ref[:]                    # [D, BQ]
     kT = kT_ref[:]                    # [D, S]
     vT = vT_ref[:]                    # [D, S]
 
     S = kT.shape[1]
-    row0 = qi * block_q
-    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, S), 0)
+    pos_q = posq_ref[0, 0]            # [BQ] absolute positions of q rows
+    rows = pos_q[:, None] + jnp.zeros((1, S), jnp.int32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, S), 1)
 
     seg = seg_ref[0, 0]               # [S] int32 (this batch row's block)
     pad = pad_ref[0, 0]               # [S] int32
-    seg_q = seg_ref[0, 0, pl.ds(pl.multiple_of(row0, block_q), block_q)]
+    seg_q = segq_ref[0, 0]            # [BQ]
     last_pad = lastpad_ref[b]
     prefix = prefix_ref[b]
 
@@ -86,22 +87,33 @@ def _attn_kernel(lastpad_ref, prefix_ref,  # scalar prefetch (SMEM)
 def omni_attention(q, k, v, seg, pad=None, last_pad=None, prefix=None,
                    sm_scale: Optional[float] = None,
                    block_q: int = DEFAULT_BLOCK_Q,
-                   interpret: bool = False):
-    """q, k, v: [B, H, S, D]; seg: [B, S] int32; pad: [B, S] int32;
-    last_pad, prefix: [B] int32.  Returns [B, H, S, D].
+                   interpret: bool = False,
+                   q_positions=None):
+    """q: [B, H, Q, D]; k, v: [B, H, S, D]; seg: [B, S] int32 (kv segment
+    ids); pad: [B, S]; last_pad, prefix: [B] int32.  Returns [B, H, Q, D].
 
-    S is padded internally to a multiple of block_q.
+    Q == S by default (self-attention); for the prefix-cached path pass
+    ``q_positions`` [Q] — the absolute kv positions of the q rows (their
+    segment ids are gathered from ``seg``).  Both Q and S are padded
+    internally to block multiples.
     """
-    B, H, S, D = q.shape
+    B, H, Q, D = q.shape
+    S = k.shape[2]
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(D)
+    if q_positions is None:
+        assert Q == S, "q_positions required when Q != S"
+        q_positions = jnp.arange(S)
 
     Sp = ((S + block_q - 1) // block_q) * block_q
+    Qp = ((Q + block_q - 1) // block_q) * block_q
+    if Qp != Q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Qp - Q), (0, 0)))
+        q_positions = jnp.pad(q_positions, (0, Qp - Q))
     if Sp != S:
-        padw = ((0, 0), (0, 0), (0, Sp - S), (0, 0))
-        q = jnp.pad(q, padw)
-        k = jnp.pad(k, padw)
-        v = jnp.pad(v, padw)
+        kvpad = ((0, 0), (0, 0), (0, Sp - S), (0, 0))
+        k = jnp.pad(k, kvpad)
+        v = jnp.pad(v, kvpad)
         seg = jnp.pad(seg, ((0, 0), (0, Sp - S)))
     if pad is None:
         pad = jnp.zeros((B, Sp), jnp.int32)
@@ -112,9 +124,15 @@ def omni_attention(q, k, v, seg, pad=None, last_pad=None, prefix=None,
     if prefix is None:
         prefix = jnp.zeros((B,), jnp.int32)
 
-    grid = (B, H, Sp // block_q)
+    # q rows' segment ids, gathered from the kv segment map
+    seg_q = jnp.take_along_axis(
+        jnp.pad(seg, ((0, 0), (0, 1))),  # guard for padded positions
+        jnp.clip(q_positions, 0, Sp)[None, :].repeat(B, 0), axis=1)
+    pos_q = jnp.broadcast_to(q_positions[None, None, :], (1, 1, Qp))
 
-    # transposed [B, H, D, S] layout so the lane axis is S/BQ (x128)
+    grid = (B, H, Qp // block_q)
+
+    # transposed [B, H, D, *] layout so the lane axis is S/BQ (x128)
     qT = jnp.swapaxes(q, 2, 3)
     kT = jnp.swapaxes(k, 2, 3)
     vT = jnp.swapaxes(v, 2, 3)
@@ -131,28 +149,33 @@ def omni_attention(q, k, v, seg, pad=None, last_pad=None, prefix=None,
             # is selected by the index map (no dynamic sublane indexing)
             pl.BlockSpec((1, 1, Sp), lambda b, h, i, *_: (b, 0, 0)),
             pl.BlockSpec((1, 1, Sp), lambda b, h, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, h, i, *_: (b, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, h, i, *_: (0, 0, i)),
         ],
         out_specs=pl.BlockSpec((1, 1, D, block_q),
                                lambda b, h, i, *_: (b, h, 0, i)),
     )
 
-    def kernel_squeeze(lp_r, pf_r, q_r, k_r, v_r, seg_r, pad_r, o_r):
+    def kernel_squeeze(lp_r, pf_r, q_r, k_r, v_r, seg_r, pad_r, segq_r,
+                       posq_r, o_r):
         _attn_kernel(lp_r, pf_r,
                      q_r.at[0, 0], k_r.at[0, 0], v_r.at[0, 0],
-                     seg_r, pad_r,
+                     seg_r, pad_r, segq_r, posq_r,
                      o_r.at[0, 0], sm_scale=sm_scale, block_q=block_q,
                      seq_len=S)
 
     outT = pl.pallas_call(
         kernel_squeeze,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, D, Sp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, D, Qp), q.dtype),
         interpret=interpret,
     )(last_pad.astype(jnp.int32), prefix.astype(jnp.int32),
       qT, kT, vT, seg.astype(jnp.int32)[:, None, :],
-      pad.astype(jnp.int32)[:, None, :])
+      pad.astype(jnp.int32)[:, None, :],
+      seg_q.astype(jnp.int32)[:, None, :],
+      pos_q.astype(jnp.int32))
 
-    return jnp.swapaxes(outT, 2, 3)[:, :, :S, :]
+    return jnp.swapaxes(outT, 2, 3)[:, :, :Q, :]
 
 
 # ---------------------------------------------------------------------------
