@@ -95,7 +95,7 @@ def main() -> None:
         return bench_mmu(args)
     if args.get("metric") == "vq":
         return bench_vq(args)
-    batch = int(args.get("batch", 4))
+    batch = int(args.get("batch", 2))
     timesteps = int(args.get("timesteps", 16))
     use_pallas = args.get("attn", "dense") == "pallas"
     mode = args.get("mode", "cached")  # cached = prefix-KV MaskGIT
