@@ -1,0 +1,98 @@
+"""Show-o2 text/image-to-video pipeline (flow matching over video latents).
+
+Video generation per the reference's video path (modeling_showo2_qwen2_5.py
+video branches + t2i_generate with first_frame_as_cond for i2v): z ~ N(0,1)
+over [C, T, h, w] latents, Euler ODE on the joint velocity, Wan VAE video
+decode.  For i2v the first latent frame holds the encoded conditioning
+image, its t is forced clean and its velocity zeroed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from showo_tpu.show_o2.formats import prepare_gen_input
+from showo_tpu.show_o2.masks import omni_attn_mask
+from showo_tpu.show_o2.showo2 import Showo2Config, showo2_t2i_velocity
+from showo_tpu.show_o2.transport import ode_timegrid, sample_ode_euler
+from showo_tpu.show_o2.wan_vae import WanVAEConfig, wan_decode, wan_encode
+
+
+@dataclasses.dataclass
+class T2VPipeline:
+    cfg: Showo2Config
+    params: dict
+    vae_cfg: WanVAEConfig
+    vae_params: dict
+    tokenizer: object
+    token_ids: dict
+    num_latent_frames: int = 5     # -> 4*(T-1)+1 = 17 pixel frames
+    guidance_scale: float = 5.0
+    num_steps: int = 50
+    time_shifting_factor: float = 3.0
+    max_text_len: int = 256
+
+    @property
+    def num_video_tokens(self) -> int:
+        per = ((self.cfg.image_latent_height // self.cfg.patch_size)
+               * (self.cfg.image_latent_width // self.cfg.patch_size))
+        return (self.num_latent_frames * per
+                + (1 if self.cfg.add_time_embeds else 0))
+
+    def generate(self, prompts: Sequence[str], key,
+                 first_frame_nhwc: Optional[np.ndarray] = None) -> np.ndarray:
+        """Returns pixel videos [B, T_pix, H, W, 3] in [-1, 1].  Passing
+        ``first_frame_nhwc`` switches to image-to-video conditioning."""
+        cfg = self.cfg
+        ids = self.token_ids
+        i2v = first_frame_nhwc is not None
+        toks, toks_null, mp, mp_null = prepare_gen_input(
+            prompts, self.tokenizer, self.num_video_tokens,
+            ids["bos_id"], ids["eos_id"],
+            ids.get("bov_id", ids["boi_id"]),
+            ids.get("eov_id", ids["eoi_id"]),
+            ids["pad_id"], ids.get("vid_pad_id", ids["img_pad_id"]),
+            self.max_text_len)
+
+        B = len(prompts)
+        h, w = cfg.image_latent_height, cfg.image_latent_width
+        T = self.num_latent_frames
+        key, k_z = jax.random.split(key)
+        z = jax.random.normal(k_z, (B, cfg.image_latent_dim, T, h, w))
+
+        if i2v:
+            key, k_enc = jax.random.split(key)
+            pix = jnp.transpose(jnp.asarray(first_frame_nhwc), (2, 0, 1))
+            pix = jnp.broadcast_to(pix[None, :, None], (B, 3, 1, *pix.shape[1:]))
+            frame0 = wan_encode(self.vae_cfg, self.vae_params, pix, k_enc)
+            z = z.at[:, :, :1].set(frame0)
+
+        if self.guidance_scale > 0:
+            text = jnp.asarray(np.concatenate([toks, toks_null], axis=0))
+            mp_all = jnp.asarray(np.concatenate([mp[:, 0], mp_null[:, 0]],
+                                                axis=0))[:, None]
+            z = jnp.concatenate([z, z], axis=0)
+        else:
+            text = jnp.asarray(toks)
+            mp_all = jnp.asarray(mp[:, 0])[:, None]
+
+        L = text.shape[1]
+        bias = omni_attn_mask(mp_all.reshape(text.shape[0], -1, 2), L)
+        mp_r = mp_all.reshape(text.shape[0], -1, 2)
+
+        def drift(x, t):
+            return showo2_t2i_velocity(
+                cfg, self.params, text, x, t, bias, mp_r,
+                guidance_scale=self.guidance_scale,
+                first_frame_as_cond=i2v, num_frames=T)
+
+        grid = ode_timegrid(self.num_steps,
+                            time_shifting_factor=self.time_shifting_factor)
+        out = sample_ode_euler(drift, z, grid)[:B]
+        videos = wan_decode(self.vae_cfg, self.vae_params, out)
+        return np.asarray(jnp.transpose(videos, (0, 2, 3, 4, 1)))
