@@ -51,8 +51,8 @@ class Showo2Config:
     siglip: SigLipConfig = dataclasses.field(default_factory=SigLipConfig)
     dit: DiffusionHeadConfig = dataclasses.field(default_factory=DiffusionHeadConfig)
     image_latent_dim: int = 16
-    image_latent_height: int = 27
-    image_latent_width: int = 27
+    image_latent_height: int = 54   # 432px / 8 VAE downsample
+    image_latent_width: int = 54    # -> 27x27 = 729 patches (+1 time token)
     patch_size: int = 2
     clip_latent_dim: int = 1152
     add_time_embeds: bool = True
