@@ -140,7 +140,8 @@ def main() -> None:
         return bench_t2i_v2(args)
     batch = int(args.get("batch", 2))
     timesteps = int(args.get("timesteps", 16))
-    use_pallas = args.get("attn", "dense") == "pallas"
+    attn_impl = args.get("attn", "dense")
+    use_pallas = attn_impl if attn_impl.startswith("pallas") else False
     mode = args.get("mode", "cached")  # cached = prefix-KV MaskGIT
 
     from showo_tpu.models.phi import PhiConfig

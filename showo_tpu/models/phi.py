@@ -104,15 +104,27 @@ def apply_rope(q, k, cos, sin, rotary_dim):
 def _attention(q, k, v, bias, attn_meta=None, q_positions=None):
     """q,k,v: [B, S, H, Dh]; bias: [B, 1, Q, K] additive.
 
-    attn_meta: optional (seg, pad, last_pad, prefix) span metadata — routes
-    to the Pallas fused omni-attention kernel (mask recomputed in-kernel,
-    no S x S bias); None uses the dense fp32-softmax path.  q_positions
-    enables the Q != K prefix-cached kernel path.
+    attn_meta: optional ("pallas"|"pallas_packed", seg, pad, last_pad,
+    prefix) span metadata — routes to a Pallas fused omni-attention kernel
+    (mask recomputed in-kernel, no S x S bias); None uses the dense
+    fp32-softmax path.  q_positions enables the Q != K prefix-cached
+    kernel paths.
     """
     if attn_meta is not None:
+        impl = attn_meta[0] if isinstance(attn_meta[0], str) else "pallas"
+        meta = attn_meta[1:] if isinstance(attn_meta[0], str) else attn_meta
+        seg, pad, last_pad, prefix = meta
+        if impl == "pallas_packed":
+            from showo_tpu.ops.flash_attention import omni_attention_packed
+
+            B, S, H, Dh = q.shape
+            out = omni_attention_packed(
+                q.reshape(B, S, H * Dh), k.reshape(B, k.shape[1], H * Dh),
+                v.reshape(B, v.shape[1], H * Dh), seg, pad, last_pad,
+                prefix, num_heads=H, q_positions=q_positions)
+            return out.reshape(B, S, H, Dh)
         from showo_tpu.ops.flash_attention import omni_attention
 
-        seg, pad, last_pad, prefix = attn_meta
         out = omni_attention(jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
                              jnp.swapaxes(v, 1, 2), seg, pad, last_pad,
                              prefix, q_positions=q_positions)

@@ -156,10 +156,13 @@ def showo_t2i_generate(
     if use_pallas_attention:
         from showo_tpu.ops.flash_attention import metadata_predict_next
 
+        impl = (use_pallas_attention if isinstance(use_pallas_attention, str)
+                else "pallas")
         meta_ids = (jnp.concatenate([input_ids, uncond_input_ids], axis=0)
                     if uncond_input_ids is not None and guidance_scale > 0
                     else input_ids)
-        attn_meta = metadata_predict_next(meta_ids, pad_id, soi_id, eoi_id)
+        attn_meta = (impl,) + metadata_predict_next(meta_ids, pad_id, soi_id,
+                                                    eoi_id)
 
     L = input_ids.shape[1]
     head_slice = None
@@ -239,9 +242,12 @@ def showo_t2i_generate_cached(
     if use_pallas_attention:
         from showo_tpu.ops.flash_attention import metadata_predict_next
 
+        impl = (use_pallas_attention if isinstance(use_pallas_attention, str)
+                else "pallas")
         meta_ids = (jnp.concatenate([input_ids, uncond_input_ids], axis=0)
                     if use_cfg else input_ids)
-        attn_meta = metadata_predict_next(meta_ids, pad_id, soi_id, eoi_id)
+        attn_meta = (impl,) + metadata_predict_next(meta_ids, pad_id, soi_id,
+                                                    eoi_id)
 
     # prefill the prefix rows once
     cache = KVCache.zeros(cfg.llm, Bf, L, dtype=params["showo"]["embed"].dtype)

@@ -179,6 +179,133 @@ def omni_attention(q, k, v, seg, pad=None, last_pad=None, prefix=None,
 
 
 # ---------------------------------------------------------------------------
+# Packed-layout variant: q/k/v [B, S, H*D] (the natural projection output
+# layout) — no HBM transposes; heads are sliced from loaded VMEM values.
+# ---------------------------------------------------------------------------
+
+
+def _attn_kernel_packed(lastpad_ref, prefix_ref,
+                        q_ref, k_ref, v_ref, seg_ref, pad_ref,
+                        segq_ref, posq_ref, o_ref,
+                        *, sm_scale, block_q, seq_len, num_heads, head_dim):
+    b = pl.program_id(0)
+
+    q_all = q_ref[:]                  # [BQ, H*D]
+    k_all = k_ref[:]                  # [S, H*D]
+    v_all = v_ref[:]                  # [S, H*D]
+    S = k_all.shape[0]
+
+    pos_q = posq_ref[0, 0]
+    rows = pos_q[:, None] + jnp.zeros((1, S), jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, S), 1)
+    seg = seg_ref[0, 0]
+    pad = pad_ref[0, 0]
+    seg_q = segq_ref[0, 0]
+    last_pad = lastpad_ref[b]
+    prefix = prefix_ref[b]
+
+    visible = cols <= rows
+    visible |= (seg_q[:, None] == seg[None, :]) & (seg_q[:, None] > 0)
+    visible |= cols < prefix
+    visible &= (pad[None, :] == 0) | (rows <= last_pad)
+    visible &= cols < seq_len
+    bias = jnp.where(visible, 0.0, NEG_INF)
+
+    for h in range(num_heads):
+        lo = h * head_dim
+        q = q_all[:, lo:lo + head_dim]
+        k = k_all[:, lo:lo + head_dim]
+        v = v_all[:, lo:lo + head_dim]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale + bias
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jax.lax.dot_general(
+            probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[:, lo:lo + head_dim] = out.astype(o_ref.dtype)
+
+
+def omni_attention_packed(q, k, v, seg, pad=None, last_pad=None, prefix=None,
+                          num_heads: int = 32,
+                          sm_scale: Optional[float] = None,
+                          block_q: int = DEFAULT_BLOCK_Q,
+                          interpret: bool = False,
+                          q_positions=None):
+    """q: [B, Q, H*D]; k, v: [B, S, H*D].  Same predicate semantics as
+    :func:`omni_attention` but in the packed projection layout (no
+    transposes in HBM)."""
+    B, Q, HD = q.shape
+    S = k.shape[1]
+    D = HD // num_heads
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(D)
+    if q_positions is None:
+        assert Q == S
+        q_positions = jnp.arange(S)
+
+    Sp = ((S + block_q - 1) // block_q) * block_q
+    Qp = ((Q + block_q - 1) // block_q) * block_q
+    if Qp != Q:
+        q = jnp.pad(q, ((0, 0), (0, Qp - Q), (0, 0)))
+        q_positions = jnp.pad(q_positions, (0, Qp - Q))
+    if Sp != S:
+        k = jnp.pad(k, ((0, 0), (0, Sp - S), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, Sp - S), (0, 0)))
+        seg = jnp.pad(seg, ((0, 0), (0, Sp - S)))
+    if pad is None:
+        pad = jnp.zeros((B, Sp), jnp.int32)
+    elif pad.shape[1] != Sp:
+        pad = jnp.pad(pad, ((0, 0), (0, Sp - pad.shape[1])))
+    if last_pad is None:
+        last_pad = jnp.full((B,), -1, jnp.int32)
+    if prefix is None:
+        prefix = jnp.zeros((B,), jnp.int32)
+
+    seg_q = jnp.take_along_axis(
+        jnp.pad(seg, ((0, 0), (0, 1))),
+        jnp.clip(q_positions, 0, Sp)[None, :].repeat(B, 0), axis=1)
+    pos_q = jnp.broadcast_to(q_positions[None, None, :], (1, 1, Qp))
+
+    grid = (B, Qp // block_q)
+    kernel = functools.partial(
+        _attn_kernel_packed, sm_scale=sm_scale, block_q=block_q, seq_len=S,
+        num_heads=num_heads, head_dim=D)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, HD), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, Sp, HD), lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, Sp, HD), lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Sp), lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Sp), lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, *_: (b, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, *_: (0, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, HD), lambda b, i, *_: (b, i, 0)),
+    )
+
+    def kernel_squeeze(lp_r, pf_r, q_r, k_r, v_r, seg_r, pad_r, segq_r,
+                       posq_r, o_r):
+        kernel(lp_r, pf_r, q_r.at[0], k_r.at[0], v_r.at[0], seg_r, pad_r,
+               segq_r, posq_r, o_r.at[0])
+
+    out = pl.pallas_call(
+        kernel_squeeze,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Qp, HD), q.dtype),
+        interpret=interpret,
+    )(last_pad.astype(jnp.int32), prefix.astype(jnp.int32),
+      q, k, v, seg.astype(jnp.int32)[:, None, :],
+      pad.astype(jnp.int32)[:, None, :],
+      seg_q.astype(jnp.int32)[:, None, :], pos_q.astype(jnp.int32))
+
+    return out[:, :Q, :]
+
+
+# ---------------------------------------------------------------------------
 # Metadata builders: token sequences -> O(S) kernel metadata
 # ---------------------------------------------------------------------------
 
