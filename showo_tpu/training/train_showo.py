@@ -199,10 +199,38 @@ class ShowoTrainer:
         self.global_step += 1
         return metrics
 
+    def generate_validation_images(self, prompts, key, output_dir: str):
+        """Periodic T2I sampling during training (train.py:671-693,
+        766-848 ``generate_images``)."""
+        import os
+
+        from showo_tpu.pipelines.t2i import T2IPipeline
+        from showo_tpu.utils.image import to_pil_images
+
+        tr = self.config.training
+        pipe = T2IPipeline(
+            cfg=self.cfg, params=self.state.params, vq_cfg=self.vq_cfg,
+            vq_params=self.vq_params, uni_prompting=self.uni_prompting,
+            guidance_scale=tr.get("guidance_scale", 1.5),
+            timesteps=tr.get("generation_timesteps", 12),
+            max_seq_length=self.tc.max_seq_length,
+            resolution=self.config.dataset.params.get("resolution", 256))
+        images = pipe.generate(list(prompts), key)
+        gen_dir = os.path.join(output_dir, "samples")
+        os.makedirs(gen_dir, exist_ok=True)
+        pils = to_pil_images(images)
+        for i, im in enumerate(pils):
+            im.save(os.path.join(
+                gen_dir, f"step{self.global_step:07d}_{i:02d}.png"))
+        self.tracker.log({"val_images": len(pils)}, step=self.global_step)
+        return images
+
     def fit(self, t2i_loader, lm_loader, mmu_loader, max_steps: int,
             log_every: int = 50, save_every: Optional[int] = None,
             output_dir: str = "output",
-            checkpoints_total_limit: Optional[int] = None, seed: int = 0):
+            checkpoints_total_limit: Optional[int] = None, seed: int = 0,
+            generate_every: Optional[int] = None,
+            validation_prompts=None):
         from showo_tpu.utils.checkpoint import save_checkpoint
 
         key = jax.random.PRNGKey(seed)
@@ -226,6 +254,11 @@ class ShowoTrainer:
             if save_every and self.global_step % save_every == 0:
                 save_checkpoint(self.state, output_dir, self.global_step,
                                 checkpoints_total_limit)
+            if (generate_every and validation_prompts
+                    and self.global_step % generate_every == 0):
+                key, kg = jax.random.split(key)
+                self.generate_validation_images(validation_prompts, kg,
+                                                output_dir)
             if self.global_step >= max_steps:
                 break
         return self.state
