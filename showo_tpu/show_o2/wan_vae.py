@@ -62,6 +62,7 @@ WAN_LATENT_STD = jnp.array([
 def causal_conv3d(p, x, stride_t: int = 1, causal_pad: bool = True):
     """x: [B, T, H, W, C]; kernel [kT, kH, kW, I, O]; time pad 2*(kT//2)
     on the left, spatial symmetric."""
+    x = x.astype(p["kernel"].dtype)
     kT, kH, kW = p["kernel"].shape[:3]
     pad_t = (2 * (kT // 2), 0) if causal_pad else (0, 0)
     out = jax.lax.conv_general_dilated(
@@ -72,6 +73,7 @@ def causal_conv3d(p, x, stride_t: int = 1, causal_pad: bool = True):
 
 
 def conv2d(p, x, stride: int = 1, pad: int = 1):
+    x = x.astype(p["kernel"].dtype)
     out = jax.lax.conv_general_dilated(
         x, p["kernel"], window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
