@@ -38,17 +38,18 @@ def make_mesh(dp: Optional[int] = None, fsdp: int = 1, tp: int = 1,
 # framework.  Matched by path suffix; first match wins.  Kernels shard the
 # largest contraction-free axis over fsdp, attention/MLP output axes over tp.
 _DEFAULT_RULES: Sequence[tuple] = (
-    # phi stacked layers: [L, D, F] kernels
-    (r"layers/(q|k|v)/kernel$", P(None, None, ("fsdp", "tp"))),
-    (r"layers/dense/kernel$", P(None, ("fsdp", "tp"), None)),
-    (r"layers/fc1/kernel$", P(None, None, ("fsdp", "tp"))),
-    (r"layers/fc2/kernel$", P(None, ("fsdp", "tp"), None)),
+    # stacked transformer layers (phi/qwen2/dit/siglip): [L, in, out]
+    (r"layers/(q|k|v|fc1|gate|up)/kernel$", P(None, None, ("fsdp", "tp"))),
+    (r"layers/(dense|o|out|fc2|down)/kernel$", P(None, ("fsdp", "tp"), None)),
+    (r"layers/adaln/kernel$", P(None, None, ("fsdp", "tp"))),
     (r"layers/.*/bias$", P()),
     (r"layers/.*/scale$", P()),
     (r"embed$", P("fsdp", None)),
     (r"lm_head/kernel$", P(None, ("fsdp", "tp"))),
     (r"lm_head/bias$", P()),
-    # conv codecs: [kh, kw, I, O]
+    # unstacked 2D projections (fusion_proj, diff_proj, time_embed, ...)
+    (r"(fc1|fc2|linear|kernel)/kernel$", P(None, ("fsdp", "tp"))),
+    # conv codecs: [kh, kw, I, O] or [kT, kH, kW, I, O]
     (r"kernel$", P(None, None, None, "fsdp")),
     (r".*", P()),
 )
