@@ -45,6 +45,21 @@ def masked_bucket_cross_entropy(logits, labels, mask_prob, num_buckets=10,
     return sums / jnp.maximum(counts, 1), counts
 
 
+def per_param_grad_norms(grads, prefix: str = "grad_norm/") -> dict:
+    """Per-parameter L2 grad norms (train.py:892-897 log_grad_norm)."""
+    import jax
+
+    out = {}
+
+    def visit(path, leaf):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        out[prefix + name] = jnp.linalg.norm(leaf.reshape(-1))
+        return leaf
+
+    jax.tree_util.tree_map_with_path(visit, grads)
+    return out
+
+
 def token_entropy(logits, mask=None):
     """Mean predictive entropy over (optionally masked) positions."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
