@@ -143,13 +143,15 @@ def main() -> None:
     attn_impl = args.get("attn", "dense")
     use_pallas = attn_impl if attn_impl.startswith("pallas") else False
     mode = args.get("mode", "cached")  # cached = prefix-KV MaskGIT
+    vq_tokens = int(args.get("vq_tokens", 256))  # 1024 = the 512px config
+    res_px = 256 if vq_tokens == 256 else 512
 
     from showo_tpu.models.phi import PhiConfig
     from showo_tpu.models.showo import (
         ShowoConfig, init_showo_params, showo_t2i_generate)
     from showo_tpu.ops.masks import omni_mask_predict_next
 
-    cfg = ShowoConfig()
+    cfg = ShowoConfig(num_vq_tokens=vq_tokens)
     # init under one jit: per-leaf dispatch through the device tunnel is slow
     params = jax.jit(
         lambda k: init_showo_params(cfg, k, dtype=jnp.bfloat16)
@@ -209,7 +211,7 @@ def main() -> None:
 
     imgs_per_min = batch * 60.0 / dt
     print(json.dumps({
-        "metric": f"t2i_images_per_min_per_chip_256px_{timesteps}steps",
+        "metric": f"t2i_images_per_min_per_chip_{res_px}px_{timesteps}steps",
         "value": round(imgs_per_min, 2),
         "unit": "images/min/chip",
         "vs_baseline": round(imgs_per_min / 150.0, 3),
