@@ -56,6 +56,18 @@ def test_mmu(golden, uni):
     np.testing.assert_array_equal(labs, golden["mmu_labels"])
 
 
+def test_t2v_and_lvg(golden, uni):
+    for task, n in (("t2v", 3), ("lvg", 3)):
+        ids, masks, labs = uni((TEXTS, golden["image_ids"],
+                                golden["labels"]), task)
+        np.testing.assert_array_equal(ids, golden[f"{task}_ids"])
+        np.testing.assert_array_equal(masks, golden[f"{task}_masks"])
+        np.testing.assert_array_equal(labs, golden[f"{task}_labels"])
+        g_ids, g_masks = uni((TEXTS, golden["image_ids"]), f"{task}_gen")
+        np.testing.assert_array_equal(g_ids, golden[f"{task}_gen_ids"])
+        np.testing.assert_array_equal(g_masks, golden[f"{task}_gen_masks"])
+
+
 def test_cond_dropout():
     uni = UniversalPrompting(FakeTokenizer(), max_text_len=8,
                              cond_dropout_prob=1.0)

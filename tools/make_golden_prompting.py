@@ -45,6 +45,20 @@ def main() -> None:
     ids, masks, labs = uni((image_ids, TEXTS), "mmu")
     out.update(mmu_ids=ids.numpy(), mmu_masks=masks.numpy(), mmu_labels=labs.numpy())
 
+    ids, masks, labs = uni((TEXTS, image_ids, labels), "t2v")
+    out.update(t2v_ids=ids.numpy(), t2v_masks=masks.numpy(),
+               t2v_labels=labs.numpy())
+
+    ids, masks = uni((TEXTS, image_ids), "t2v_gen")
+    out.update(t2v_gen_ids=ids.numpy(), t2v_gen_masks=masks.numpy())
+
+    ids, masks, labs = uni((TEXTS, image_ids, labels), "lvg")
+    out.update(lvg_ids=ids.numpy(), lvg_masks=masks.numpy(),
+               lvg_labels=labs.numpy())
+
+    ids, masks = uni((TEXTS, image_ids), "lvg_gen")
+    out.update(lvg_gen_ids=ids.numpy(), lvg_gen_masks=masks.numpy())
+
     out["image_ids"] = image_ids.numpy()
     out["labels"] = labels.numpy()
 
