@@ -140,11 +140,15 @@ def main() -> None:
         return bench_t2i_v2(args)
     batch = int(args.get("batch", 2))
     timesteps = int(args.get("timesteps", 16))
-    attn_impl = args.get("attn", "dense")
-    use_pallas = attn_impl if attn_impl.startswith("pallas") else False
+    attn_impl = args.get("attn", "auto")
     mode = args.get("mode", "cached")  # cached = prefix-KV MaskGIT
     vq_tokens = int(args.get("vq_tokens", 256))  # 1024 = the 512px config
     res_px = 256 if vq_tokens == 256 else 512
+    if attn_impl == "auto":
+        # measured crossover: dense wins at S~387 (256px), the packed
+        # Pallas kernel wins at S~1155 (512px)
+        attn_impl = "pallas_packed" if vq_tokens >= 1024 else "dense"
+    use_pallas = attn_impl if attn_impl.startswith("pallas") else False
 
     from showo_tpu.models.phi import PhiConfig
     from showo_tpu.models.showo import (

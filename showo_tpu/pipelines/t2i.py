@@ -36,21 +36,32 @@ class T2IPipeline:
     mask_schedule: str = "cosine"
     max_seq_length: int = 128
     resolution: int = 256
+    attn_impl: str = "auto"   # auto: packed Pallas kernel at long seqs
 
     def __post_init__(self):
         self._vq = MagvitV2(self.vq_cfg)
         self._schedule = get_mask_schedule(self.mask_schedule)
 
         cfg = self.cfg
+        from showo_tpu.models.showo import showo_t2i_generate_cached
+
+        impl = self.attn_impl
+        if impl == "auto":
+            impl = "pallas_packed" if cfg.num_vq_tokens >= 1024 else "dense"
+        use_pallas = impl if impl.startswith("pallas") else False
+        sp = self.uni_prompting.sptids
 
         @jax.jit
         def _generate(params, ids, uncond_ids, bias, key):
-            return showo_t2i_generate(
+            return showo_t2i_generate_cached(
                 cfg, params, ids, key, uncond_input_ids=uncond_ids,
                 attention_bias=bias, guidance_scale=self.guidance_scale,
                 temperature=self.temperature, timesteps=self.timesteps,
                 noise_schedule=self._schedule,
-                max_seq_length=self.max_seq_length)
+                max_seq_length=self.max_seq_length,
+                use_pallas_attention=use_pallas,
+                pad_id=sp["<|pad|>"], soi_id=sp["<|soi|>"],
+                eoi_id=sp["<|eoi|>"])
 
         @jax.jit
         def _decode(vq_params, codes):
