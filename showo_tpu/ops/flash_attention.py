@@ -187,7 +187,8 @@ def omni_attention(q, k, v, seg, pad=None, last_pad=None, prefix=None,
 def _attn_kernel_packed(lastpad_ref, prefix_ref,
                         q_ref, k_ref, v_ref, seg_ref, pad_ref,
                         segq_ref, posq_ref, o_ref,
-                        *, sm_scale, block_q, seq_len, num_heads, head_dim):
+                        *, sm_scale, block_q, seq_len, num_heads, head_dim,
+                        num_kv_heads):
     b = pl.program_id(0)
 
     q_all = q_ref[:]                  # [BQ, H*D]
@@ -211,11 +212,13 @@ def _attn_kernel_packed(lastpad_ref, prefix_ref,
     visible &= cols < seq_len
     bias = jnp.where(visible, 0.0, NEG_INF)
 
+    group = num_heads // num_kv_heads
     for h in range(num_heads):
         lo = h * head_dim
+        kv_lo = (h // group) * head_dim
         q = q_all[:, lo:lo + head_dim]
-        k = k_all[:, lo:lo + head_dim]
-        v = v_all[:, lo:lo + head_dim]
+        k = k_all[:, kv_lo:kv_lo + head_dim]
+        v = v_all[:, kv_lo:kv_lo + head_dim]
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale + bias
@@ -228,16 +231,19 @@ def _attn_kernel_packed(lastpad_ref, prefix_ref,
 
 def omni_attention_packed(q, k, v, seg, pad=None, last_pad=None, prefix=None,
                           num_heads: int = 32,
+                          num_kv_heads: Optional[int] = None,
                           sm_scale: Optional[float] = None,
                           block_q: int = DEFAULT_BLOCK_Q,
                           interpret: bool = False,
                           q_positions=None):
-    """q: [B, Q, H*D]; k, v: [B, S, H*D].  Same predicate semantics as
-    :func:`omni_attention` but in the packed projection layout (no
-    transposes in HBM)."""
+    """q: [B, Q, H*D]; k, v: [B, S, Hkv*D] (GQA supported).  Same
+    predicate semantics as :func:`omni_attention` but in the packed
+    projection layout (no transposes in HBM)."""
     B, Q, HD = q.shape
     S = k.shape[1]
     D = HD // num_heads
+    if num_kv_heads is None:
+        num_kv_heads = num_heads
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(D)
     if q_positions is None:
@@ -268,17 +274,18 @@ def omni_attention_packed(q, k, v, seg, pad=None, last_pad=None, prefix=None,
     pos_q = jnp.broadcast_to(q_positions[None, None, :], (1, 1, Qp))
 
     grid = (B, Qp // block_q)
+    KVD = num_kv_heads * D
     kernel = functools.partial(
         _attn_kernel_packed, sm_scale=sm_scale, block_q=block_q, seq_len=S,
-        num_heads=num_heads, head_dim=D)
+        num_heads=num_heads, head_dim=D, num_kv_heads=num_kv_heads)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, HD), lambda b, i, *_: (b, i, 0)),
-            pl.BlockSpec((1, Sp, HD), lambda b, i, *_: (b, 0, 0)),
-            pl.BlockSpec((1, Sp, HD), lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, Sp, KVD), lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, Sp, KVD), lambda b, i, *_: (b, 0, 0)),
             pl.BlockSpec((1, 1, Sp), lambda b, i, *_: (b, 0, 0)),
             pl.BlockSpec((1, 1, Sp), lambda b, i, *_: (b, 0, 0)),
             pl.BlockSpec((1, 1, block_q), lambda b, i, *_: (b, 0, i)),

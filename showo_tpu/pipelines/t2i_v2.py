@@ -34,19 +34,38 @@ class T2IV2Pipeline:
     num_steps: int = 50
     time_shifting_factor: float = 3.0
     max_text_len: int = 256
+    attn_impl: str = "auto"   # packed Pallas kernel at v2 sequence lengths
 
     def __post_init__(self):
         cfg = self.cfg
+        impl = self.attn_impl
+        if impl == "auto":
+            impl = ("pallas_packed" if cfg.num_image_tokens >= 512 else
+                    "dense")
+        self._impl = impl
 
         @jax.jit
         def _denoise(params, z, text_tokens, bias, modality_positions, key):
             grid = ode_timegrid(self.num_steps,
                                 time_shifting_factor=self.time_shifting_factor)
 
+            attn_meta = None
+            if self._impl.startswith("pallas"):
+                from showo_tpu.ops.flash_attention import (
+                    seg_from_modality_positions)
+
+                L = text_tokens.shape[1]
+                seg = seg_from_modality_positions(modality_positions, L)
+                B = text_tokens.shape[0]
+                attn_meta = (self._impl, seg,
+                             jnp.zeros((B, L), jnp.int32),
+                             jnp.full((B,), -1, jnp.int32),
+                             jnp.zeros((B,), jnp.int32))
+
             def drift(x, t):
                 return showo2_t2i_velocity(
                     cfg, params, text_tokens, x, t, bias, modality_positions,
-                    guidance_scale=self.guidance_scale)
+                    guidance_scale=self.guidance_scale, attn_meta=attn_meta)
 
             return sample_ode_euler(drift, z, grid)
 

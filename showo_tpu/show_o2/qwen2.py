@@ -104,7 +104,7 @@ def init_qwen2_params(cfg: Qwen2Config, key, dtype=jnp.float32) -> Dict[str, Any
 
 
 def _layer(cfg: Qwen2Config, lp, h, bias, cos, sin, cache_kv=None,
-           cache_index=None):
+           cache_index=None, attn_meta=None):
     B, S, D = h.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -125,6 +125,26 @@ def _layer(cfg: Qwen2Config, lp, h, bias, cos, sin, cache_kv=None,
     else:
         k_att, v_att = k, v
         new_kv = (k, v)
+
+    if attn_meta is not None:
+        # packed Pallas omni kernel with GQA (no S x S bias in HBM)
+        from showo_tpu.ops.flash_attention import omni_attention_packed
+
+        impl_meta = attn_meta[1:] if isinstance(attn_meta[0], str) else attn_meta
+        seg, pad, last_pad, prefix = impl_meta
+        q_positions = (cache_index + jnp.arange(S)
+                       if cache_kv is not None else None)
+        Skv = k_att.shape[1]
+        attn = omni_attention_packed(
+            q.reshape(B, S, H * Dh), k_att.reshape(B, Skv, Hkv * Dh),
+            v_att.reshape(B, Skv, Hkv * Dh), seg, pad, last_pad, prefix,
+            num_heads=H, num_kv_heads=Hkv, q_positions=q_positions)
+        attn = attn @ lp["o"]["kernel"]
+        h = h + attn
+        x2 = rms_norm(h, lp["post_ln"]["scale"], cfg.rms_norm_eps)
+        mlp = (jax.nn.silu(x2 @ lp["gate"]["kernel"]) * (x2 @ lp["up"]["kernel"])) \
+            @ lp["down"]["kernel"]
+        return h + mlp, new_kv
 
     # GQA: fold kv-head groups into the einsum instead of materializing
     # repeat_kv (reference qwen2.py repeats to H heads)
@@ -155,6 +175,7 @@ def qwen2_forward(
     position_ids: Optional[jnp.ndarray] = None,
     cache: Optional[Qwen2KVCache] = None,
     remat: bool = False,
+    attn_meta=None,
 ):
     """Returns (logits, last_hidden_state, new_cache_or_None)."""
     if input_embeds is None:
@@ -173,7 +194,7 @@ def qwen2_forward(
         def body(h, xs):
             lp, layer_kv = xs
             h, new_kv = layer_fn(cfg, lp, h, attention_bias, cos, sin,
-                                 layer_kv, cache.length)
+                                 layer_kv, cache.length, attn_meta)
             return h, new_kv
 
         h, (nk, nv) = jax.lax.scan(body, h, (params["layers"],
@@ -181,7 +202,8 @@ def qwen2_forward(
         new_cache = Qwen2KVCache(nk, nv, cache.length + S)
     else:
         def body(h, lp):
-            h, _ = layer_fn(cfg, lp, h, attention_bias, cos, sin)
+            h, _ = layer_fn(cfg, lp, h, attention_bias, cos, sin, None, None,
+                            attn_meta)
             return h, None
 
         h, _ = jax.lax.scan(body, h, params["layers"])

@@ -208,6 +208,7 @@ def showo2_forward(
     image_masks: Optional[jnp.ndarray] = None,   # [B, L]
     und_only: bool = False,
     remat: bool = False,
+    attn_meta=None,
 ):
     """Returns a dict with logits and, depending on label presence,
     loss_ntp / loss_flow / v (sequence-space velocity)."""
@@ -238,7 +239,7 @@ def showo2_forward(
     logits, last_hidden, _ = qwen2_forward(cfg.llm, params["showo"],
                                            input_embeds=input_embeds,
                                            attention_bias=attention_bias,
-                                           remat=remat)
+                                           remat=remat, attn_meta=attn_meta)
     out = {"logits": logits}
     if text_labels is not None:
         out["loss_ntp"] = next_token_prediction_loss(logits, text_labels,
@@ -308,6 +309,7 @@ def showo2_t2i_velocity(
     first_frame_as_cond: bool = False,
     only_denoise_last_image: bool = False,
     num_frames: int = 0,
+    attn_meta=None,
 ):
     """One velocity evaluation with CFG (t2i_generate, :467-514).
 
@@ -317,7 +319,8 @@ def showo2_t2i_velocity(
     num_frames > 0 selects the video path ([.., C, T, H, W] latents).
     """
     out = showo2_forward(cfg, params, text_tokens, image_latents, t,
-                         attention_bias, modality_positions)
+                         attention_bias, modality_positions,
+                         attn_meta=attn_meta)
     h_ = cfg.image_latent_height // cfg.patch_size
     w_ = cfg.image_latent_width // cfg.patch_size
     v = extract_v(cfg, out["v_seq"], modality_positions, h_, w_,
