@@ -145,6 +145,29 @@ class Stage1Trainer:
         self.global_step += 1
         return metrics
 
+    def generate_validation_images(self, prompts, tokenizer, token_ids, key,
+                                   output_dir: str, num_steps: int = 20,
+                                   guidance_scale: float = 5.0):
+        """Periodic ODE sampling during training (train_stage_one.py:602-698
+        ``generate_images``)."""
+        import os
+
+        from showo_tpu.pipelines.t2i_v2 import T2IV2Pipeline
+        from showo_tpu.utils.image import to_pil_images
+
+        pipe = T2IV2Pipeline(
+            cfg=self.cfg, params=self.params, vae_cfg=self.vae_cfg,
+            vae_params=self.vae_params, tokenizer=tokenizer,
+            token_ids=token_ids, guidance_scale=guidance_scale,
+            num_steps=num_steps)
+        images = pipe.generate(list(prompts), key)
+        gen_dir = os.path.join(output_dir, "samples")
+        os.makedirs(gen_dir, exist_ok=True)
+        for i, im in enumerate(to_pil_images(images)):
+            im.save(os.path.join(
+                gen_dir, f"step{self.global_step:07d}_{i:02d}.png"))
+        return images
+
     def fit(self, mixed_loader, max_steps: int, log_every: int = 50,
             save_every: Optional[int] = None, output_dir: str = "output",
             seed: int = 0, tracker: Optional[Tracker] = None):
