@@ -157,9 +157,13 @@ def main() -> None:
 
     cfg = ShowoConfig(num_vq_tokens=vq_tokens)
     # init under one jit: per-leaf dispatch through the device tunnel is slow
+    from showo_tpu.models.phi import fuse_qkv
+
     params = jax.jit(
         lambda k: init_showo_params(cfg, k, dtype=jnp.bfloat16)
     )(jax.random.PRNGKey(0))
+    if args.get("fused_qkv", "1") != "0":
+        params = dict(params, showo=fuse_qkv(params["showo"]))
     jax.block_until_ready(params)
 
     PAD, SOI, EOI = 50295, 50296, 50297

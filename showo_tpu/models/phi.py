@@ -141,6 +141,23 @@ def _attention(q, k, v, bias, attn_meta=None, q_positions=None):
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
+def fuse_qkv(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert separate q/k/v projections into a fused qkv kernel
+    (numerically identical; better MXU utilization at small batch)."""
+    L = dict(params["layers"])
+    if "qkv" in L:
+        return params
+    L["qkv"] = {
+        "kernel": jnp.concatenate([L["q"]["kernel"], L["k"]["kernel"],
+                                   L["v"]["kernel"]], axis=-1),
+        "bias": jnp.concatenate([L["q"]["bias"], L["k"]["bias"],
+                                 L["v"]["bias"]], axis=-1),
+    }
+    for name in ("q", "k", "v"):
+        del L[name]
+    return dict(params, layers=L)
+
+
 def init_phi_params(cfg: PhiConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
     """Random init (normal 0.02) with the stacked-layer layout."""
     L, D, F, H, Dh = (cfg.num_layers, cfg.hidden_size, cfg.intermediate_size,
@@ -180,9 +197,18 @@ def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
 
     x = layer_norm(h, lp["ln"]["scale"], lp["ln"]["bias"], cfg.layer_norm_eps)
 
-    q = (x @ lp["q"]["kernel"] + lp["q"]["bias"]).reshape(B, S, H, Dh)
-    k = (x @ lp["k"]["kernel"] + lp["k"]["bias"]).reshape(B, S, H, Dh)
-    v = (x @ lp["v"]["kernel"] + lp["v"]["bias"]).reshape(B, S, H, Dh)
+    if "qkv" in lp:
+        # fused projection: one wide matmul keeps the MXU busy at small
+        # token counts (numerically identical to three separate matmuls)
+        qkv = x @ lp["qkv"]["kernel"] + lp["qkv"]["bias"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, S, H, Dh)
+        k = k.reshape(B, S, H, Dh)
+        v = v.reshape(B, S, H, Dh)
+    else:
+        q = (x @ lp["q"]["kernel"] + lp["q"]["bias"]).reshape(B, S, H, Dh)
+        k = (x @ lp["k"]["kernel"] + lp["k"]["bias"]).reshape(B, S, H, Dh)
+        v = (x @ lp["v"]["kernel"] + lp["v"]["bias"]).reshape(B, S, H, Dh)
 
     q = layer_norm(q, lp["q_ln"]["scale"], lp["q_ln"]["bias"], cfg.layer_norm_eps)
     k = layer_norm(k, lp["k_ln"]["scale"], lp["k_ln"]["bias"], cfg.layer_norm_eps)

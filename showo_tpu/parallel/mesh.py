@@ -39,7 +39,7 @@ def make_mesh(dp: Optional[int] = None, fsdp: int = 1, tp: int = 1,
 # largest contraction-free axis over fsdp, attention/MLP output axes over tp.
 _DEFAULT_RULES: Sequence[tuple] = (
     # stacked transformer layers (phi/qwen2/dit/siglip): [L, in, out]
-    (r"layers/(q|k|v|fc1|gate|up)/kernel$", P(None, None, ("fsdp", "tp"))),
+    (r"layers/(q|k|v|qkv|fc1|gate|up)/kernel$", P(None, None, ("fsdp", "tp"))),
     (r"layers/(dense|o|out|fc2|down)/kernel$", P(None, ("fsdp", "tp"), None)),
     (r"layers/adaln/kernel$", P(None, None, ("fsdp", "tp"))),
     (r"layers/.*/bias$", P()),
