@@ -3,7 +3,9 @@
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline north star: 150 images/min/chip (BASELINE.md).
 
-Run on the real chip:  python bench.py  [batch=4] [timesteps=16]
+Run on the real chip:  python bench.py  [batch=2] [timesteps=16]
+                       [mode=cached|plain] [attn=auto|dense|pallas|pallas_packed]
+                       [vq_tokens=256|1024]  (1024 = the 512px config)
 Secondary metrics:     python bench.py metric=mmu   (decode tok/s)
                        python bench.py metric=vq    (VQ encode Mpix/s)
 """
