@@ -89,6 +89,44 @@ class DataLoader:
             yield item
 
 
+def device_prefetch(iterator, size: int = 2, sharding=None):
+    """Overlap host->device transfer with compute: keep `size` batches
+    already on device ahead of the consumer (classic jax input pipeline).
+
+    sharding: optional jax.sharding.Sharding applied to every leaf (e.g.
+    the batch sharding of the mesh).
+    """
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            queue.append(jax.tree.map(
+                lambda x: jax.device_put(x, sharding)
+                if hasattr(x, "shape") else x, batch))
+        else:
+            queue.append(jax.tree.map(
+                lambda x: jax.device_put(x) if hasattr(x, "shape") else x,
+                batch))
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            put(next(it))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            put(next(it))
+        except StopIteration:
+            pass
+        yield out
+
+
 class ShuffleBuffer:
     """Reservoir-style shuffle buffer (webdataset .shuffle analogue)."""
 

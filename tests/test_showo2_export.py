@@ -1,0 +1,39 @@
+"""Showo2 export -> reimport round-trip + device prefetch test."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from showo_tpu.show_o2.showo2 import init_showo2_params
+from showo_tpu.utils.torch_export import showo2_state_dict
+from showo_tpu.utils.torch_import import showo2_params_from_torch
+from tests.test_showo2_full_parity import TINY
+
+
+def test_showo2_export_roundtrip():
+    params = init_showo2_params(TINY, jax.random.PRNGKey(0))
+    sd = showo2_state_dict(params, num_llm_layers=2, num_siglip_layers=2,
+                           num_dit_layers=2)
+    back = showo2_params_from_torch(sd, num_llm_layers=2,
+                                    num_siglip_layers=2, num_dit_layers=2)
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+    checked = 0
+    for path, a in flat_a:
+        if path in flat_b:
+            np.testing.assert_allclose(np.asarray(a),
+                                       np.asarray(flat_b[path]), atol=1e-6,
+                                       err_msg=str(path))
+            checked += 1
+    assert checked > 30
+
+
+def test_device_prefetch():
+    from showo_tpu.data.loader import device_prefetch
+
+    batches = [{"x": np.full((2, 3), i, np.float32)} for i in range(5)]
+    out = list(device_prefetch(iter(batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert float(b["x"][0, 0]) == i
+        assert hasattr(b["x"], "sharding")  # on device
