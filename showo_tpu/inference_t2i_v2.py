@@ -36,9 +36,21 @@ QWEN_TOKEN_IDS = {  # qwen2.5 vocab ids (misc.py:371-386)
 
 def build_showo2_config(config) -> Showo2Config:
     m = config.model.showo
+    llm = Qwen2Config(
+        hidden_size=m.hidden_size,
+        vocab_size=m.get("llm_vocab_size") or 151940,
+        intermediate_size=m.get("llm_intermediate_size", 8960),
+        num_layers=m.get("llm_num_layers", 28),
+        num_heads=m.get("llm_num_heads", 12),
+        num_kv_heads=m.get("llm_num_kv_heads", 2),
+        head_dim=m.get("llm_head_dim", 128),
+        tie_word_embeddings=m.get("llm_tie_word_embeddings", True),
+    )
+    from showo_tpu.show_o2.dit import DiffusionHeadConfig
+
     return Showo2Config(
-        llm=Qwen2Config(hidden_size=m.hidden_size,
-                        vocab_size=m.get("llm_vocab_size") or 151940),
+        llm=llm,
+        dit=DiffusionHeadConfig(num_layers=m.get("num_diffusion_layers", 10)),
         image_latent_dim=m.image_latent_dim,
         image_latent_height=m.image_latent_height,
         image_latent_width=m.image_latent_width,

@@ -100,3 +100,20 @@ class MixedModalTrainer:
             self.params, self.opt_state, self.vae_params, batch, key)
         self.global_step += 1
         return metrics
+
+    def fit(self, loader, max_steps: int, log_every: int = 50,
+            save_every=None, output_dir: str = "output", seed: int = 0):
+        from showo_tpu.utils.checkpoint import save_checkpoint
+
+        key = jax.random.PRNGKey(seed)
+        for batch in loader:
+            key, k = jax.random.split(key)
+            metrics = self.train_step(batch, k)
+            if self.global_step % log_every == 0:
+                logger.info("step %d: %s", self.global_step,
+                            {k2: float(v) for k2, v in metrics.items()})
+            if save_every and self.global_step % save_every == 0:
+                save_checkpoint((self.params, self.opt_state), output_dir,
+                                self.global_step)
+            if self.global_step >= max_steps:
+                break
