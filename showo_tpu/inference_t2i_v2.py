@@ -136,6 +136,7 @@ def main() -> None:
         num_steps=int(config.transport.get("num_inference_steps", 50)),
         time_shifting_factor=float(config.transport.get("time_shifting_factor", 3.0)),
         max_text_len=int(config.dataset.preprocessing.get("max_text_len", 256)),
+        sampling_method=str(config.transport.get("sampling_method", "euler")),
     )
 
     with open(config.validation_prompts_file) as f:

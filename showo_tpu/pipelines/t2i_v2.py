@@ -18,7 +18,9 @@ import numpy as np
 from showo_tpu.show_o2.formats import prepare_gen_input
 from showo_tpu.show_o2.masks import omni_attn_mask
 from showo_tpu.show_o2.showo2 import Showo2Config, showo2_t2i_velocity
-from showo_tpu.show_o2.transport import ode_timegrid, sample_ode_euler
+from showo_tpu.show_o2.transport import (ode_timegrid, sample_dpm_solver_pp,
+                                         sample_ode_dopri5, sample_ode_euler,
+                                         sample_ode_heun)
 from showo_tpu.show_o2.wan_vae import WanVAEConfig, wan_decode
 
 
@@ -35,6 +37,7 @@ class T2IV2Pipeline:
     time_shifting_factor: float = 3.0
     max_text_len: int = 256
     attn_impl: str = "auto"   # packed Pallas kernel at v2 sequence lengths
+    sampling_method: str = "euler"  # euler | heun | dpm-solver | dopri5
 
     def __post_init__(self):
         cfg = self.cfg
@@ -67,6 +70,13 @@ class T2IV2Pipeline:
                     cfg, params, text_tokens, x, t, bias, modality_positions,
                     guidance_scale=self.guidance_scale, attn_meta=attn_meta)
 
+            method = self.sampling_method
+            if method == "heun":
+                return sample_ode_heun(drift, z, grid)
+            if method in ("dpm-solver", "dpm"):
+                return sample_dpm_solver_pp(drift, z, grid)
+            if method == "dopri5":
+                return sample_ode_dopri5(drift, z)
             return sample_ode_euler(drift, z, grid)
 
         @jax.jit
