@@ -168,9 +168,63 @@ class Stage1Trainer:
                 gen_dir, f"step{self.global_step:07d}_{i:02d}.png"))
         return images
 
+    def visualize_reconstruction(self, pixels_nhwc, output_dir: str,
+                                 key=None):
+        """Side-by-side [input | VAE recon] panels saved per sample
+        (train_stage_one.py:702-720 ``visualize_reconstruction``)."""
+        import os
+
+        from showo_tpu.show_o2.wan_vae import wan_decode, wan_encode
+        from showo_tpu.utils.image import to_pil_images
+
+        pix = jnp.transpose(jnp.asarray(pixels_nhwc), (0, 3, 1, 2))[:, :, None]
+        z = wan_encode(self.vae_cfg, self.vae_params, pix, key)
+        recon = wan_decode(self.vae_cfg, self.vae_params, z)[:, :, 0]
+        recon = jnp.transpose(recon, (0, 2, 3, 1))
+        panel = np.concatenate([np.asarray(pixels_nhwc, np.float32),
+                                np.asarray(recon, np.float32)], axis=2)
+        rec_dir = os.path.join(output_dir, "recon")
+        os.makedirs(rec_dir, exist_ok=True)
+        for i, im in enumerate(to_pil_images(panel)):
+            im.save(os.path.join(
+                rec_dir, f"step{self.global_step:07d}_{i:02d}.png"))
+        return panel
+
+    def visualize_reconstruction_video(self, videos_nthwc, output_dir: str,
+                                       key=None):
+        """Per-frame [input | recon] strips for video batches
+        (train_stage_one.py:817-832)."""
+        import os
+
+        from showo_tpu.show_o2.wan_vae import wan_decode, wan_encode
+        from showo_tpu.utils.image import to_pil_images
+
+        vids = jnp.transpose(jnp.asarray(videos_nthwc), (0, 4, 1, 2, 3))
+        z = wan_encode(self.vae_cfg, self.vae_params, vids, key)
+        recon = wan_decode(self.vae_cfg, self.vae_params, z)
+        recon = jnp.transpose(recon, (0, 2, 3, 4, 1))  # NTHWC
+        panel = np.concatenate([np.asarray(videos_nthwc, np.float32),
+                                np.asarray(recon, np.float32)], axis=3)
+        rec_dir = os.path.join(output_dir, "recon_video")
+        os.makedirs(rec_dir, exist_ok=True)
+        for i in range(panel.shape[0]):
+            for t, im in enumerate(to_pil_images(panel[i])):
+                im.save(os.path.join(
+                    rec_dir,
+                    f"step{self.global_step:07d}_{i:02d}_f{t:03d}.png"))
+        return panel
+
     def fit(self, mixed_loader, max_steps: int, log_every: int = 50,
             save_every: Optional[int] = None, output_dir: str = "output",
-            seed: int = 0, tracker: Optional[Tracker] = None):
+            seed: int = 0, tracker: Optional[Tracker] = None,
+            generate_every: Optional[int] = None,
+            validation_prompts: Sequence[str] = (),
+            tokenizer=None, token_ids=None):
+        """Train loop with the reference's periodic hooks
+        (train_stage_one.py:528-576): metric logging, checkpointing, and —
+        every ``generate_every`` steps — ODE sampling of
+        ``validation_prompts`` plus a VAE reconstruction panel of the
+        current batch."""
         from showo_tpu.utils.checkpoint import save_checkpoint
 
         key = jax.random.PRNGKey(seed)
@@ -190,6 +244,19 @@ class Stage1Trainer:
             if save_every and self.global_step % save_every == 0:
                 save_checkpoint((self.params, self.opt_state), output_dir,
                                 self.global_step)
+            if generate_every and self.global_step % generate_every == 0:
+                key, k_gen, k_rec = jax.random.split(key, 3)
+                if validation_prompts and tokenizer is not None:
+                    self.generate_validation_images(
+                        validation_prompts, tokenizer, token_ids, k_gen,
+                        output_dir)
+                if "images" in batch:
+                    imgs = np.asarray(batch["images"])
+                    if imgs.ndim == 4:  # [B, H, W, 3]
+                        self.visualize_reconstruction(imgs, output_dir, k_rec)
+                    elif imgs.ndim == 5:  # [B, T, H, W, 3]
+                        self.visualize_reconstruction_video(imgs, output_dir,
+                                                            k_rec)
             if self.global_step >= max_steps:
                 break
 

@@ -94,3 +94,26 @@ def test_trainable_mask():
     mask = trainable_mask(params, ["und_trans"])
     assert mask["a"]["und_trans"]["w"] is False
     assert mask["a"]["x"] is True
+
+
+def test_visualization_hooks(tmp_path):
+    import os
+
+    params = init_showo2_params(TINY, jax.random.PRNGKey(0))
+    vae_params = init_wan_vae_params(VAE_TINY, jax.random.PRNGKey(1))
+    trainer = Stage1Trainer(
+        cfg=TINY, vae_cfg=VAE_TINY, sc=Stage1Config(), params=params,
+        vae_params=vae_params,
+        transport=Transport(snr_type="lognorm", do_shift=True, seq_len=N_IMG))
+
+    pix = np.random.default_rng(1).normal(size=(2, 16, 16, 3)).astype(np.float32)
+    panel = trainer.visualize_reconstruction(pix, str(tmp_path),
+                                             jax.random.PRNGKey(2))
+    assert panel.shape == (2, 16, 32, 3)
+    assert len(os.listdir(tmp_path / "recon")) == 2
+
+    vid = np.random.default_rng(2).normal(size=(1, 5, 16, 16, 3)).astype(np.float32)
+    panel_v = trainer.visualize_reconstruction_video(vid, str(tmp_path),
+                                                     jax.random.PRNGKey(3))
+    assert panel_v.shape == (1, 5, 16, 32, 3)
+    assert len(os.listdir(tmp_path / "recon_video")) == 5
