@@ -68,7 +68,11 @@ def make_stage1_optimizer(sc: Stage1Config, params,
 def make_stage1_step(cfg: Showo2Config, vae_cfg: WanVAEConfig,
                      sc: Stage1Config, transport: Transport, optimizer):
     """Fused step.  Batch (already collated, numpy/jax):
-      text_tokens [B, L], text_labels [B, L], images [B, H, W, 3] pixels,
+      text_tokens [B, L], text_labels [B, L],
+      images [B, H, W, 3] pixels — or [B, T, H, W, 3] video batches, which
+      take the reference's 5D path (train_stage_one.py:354-360: the VAE
+      keeps its temporal axis and the joint video latents flow through the
+      same corruption + forward),
       modality_positions [B, M, 2], image_masks [B, L],
       is_und [B] (1 for understanding samples -> t dampening).
     """
@@ -78,9 +82,15 @@ def make_stage1_step(cfg: Showo2Config, vae_cfg: WanVAEConfig,
         B = batch["text_tokens"].shape[0]
         L = batch["text_tokens"].shape[1]
 
-        # frozen VAE: pixels [B,H,W,3] -> latents [B, C, 1, h, w] -> [B,C,h,w]
-        pixels = jnp.transpose(batch["images"], (0, 3, 1, 2))[:, :, None]
-        latents = wan_encode(vae_cfg, vae_params, pixels, k_vae)[:, :, 0]
+        # frozen VAE.  Images: [B,H,W,3] -> [B,C,1,h,w] -> [B,C,h,w];
+        # videos: [B,T,H,W,3] -> [B,C,T',h,w] (temporal axis kept).
+        is_video = batch["images"].ndim == 5
+        if is_video:
+            pixels = jnp.transpose(batch["images"], (0, 4, 1, 2, 3))
+            latents = wan_encode(vae_cfg, vae_params, pixels, k_vae)
+        else:
+            pixels = jnp.transpose(batch["images"], (0, 3, 1, 2))[:, :, None]
+            latents = wan_encode(vae_cfg, vae_params, pixels, k_vae)[:, :, 0]
         latents = jax.lax.stop_gradient(latents)
 
         # transport corruption; und samples get weak noise (t near 1)

@@ -117,3 +117,36 @@ def test_visualization_hooks(tmp_path):
                                                      jax.random.PRNGKey(3))
     assert panel_v.shape == (1, 5, 16, 32, 3)
     assert len(os.listdir(tmp_path / "recon_video")) == 5
+
+
+def test_stage1_video_batch():
+    """5D video batches run through the same fused step (reference
+    train_stage_one.py:354-360 keeps the VAE temporal axis)."""
+    rng = np.random.default_rng(3)
+    T_pix = 5  # -> (5-1)/2 + 1 = 3 latent frames with one temporal stage
+    n_tok = 3 * 16 + 1  # T' * (h/p * w/p) + time embed
+    Lv = 72
+    toks, labs, mps, ims = [], [], [], []
+    for i in range(2):
+        t, l, mp, tm, im = format_sequence_gen_qwen2_5(
+            list(rng.integers(10, 190, size=4)), num_image_tokens=n_tok,
+            max_seq_len=Lv, **IDS)
+        toks.append(t)
+        labs.append(l)
+        mps.append(mp)
+        ims.append(im)
+    batch = {
+        "text_tokens": np.stack(toks), "text_labels": np.stack(labs),
+        "modality_positions": np.stack(mps), "image_masks": np.stack(ims),
+        "images": rng.normal(size=(2, T_pix, 16, 16, 3)).astype(np.float32),
+        "is_und": np.zeros(2, np.int32),
+    }
+    params = init_showo2_params(TINY, jax.random.PRNGKey(0))
+    vae_params = init_wan_vae_params(VAE_TINY, jax.random.PRNGKey(1))
+    trainer = Stage1Trainer(
+        cfg=TINY, vae_cfg=VAE_TINY, sc=Stage1Config(), params=params,
+        vae_params=vae_params,
+        transport=Transport(snr_type="lognorm", do_shift=True, seq_len=n_tok))
+    m = trainer.train_step(batch, jax.random.PRNGKey(5))
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss_flow"]) > 0
