@@ -118,6 +118,29 @@ def get_config(argv: List[str] | None = None) -> Config:
     return conf
 
 
+def snapshot_config(cfg: Any, output_dir: str, tracker=None) -> str:
+    """Persist the merged config into the run directory and (optionally)
+    attach the flattened key/values to a tracker — the reference snapshots
+    its OmegaConf the same way (train.py:153-157, training/utils.py:20-48)."""
+    import os
+
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, "config.yaml")
+
+    def plain(x):
+        if isinstance(x, dict):
+            return {k: plain(v) for k, v in x.items()}
+        if isinstance(x, list):
+            return [plain(v) for v in x]
+        return x
+
+    with open(path, "w") as f:
+        yaml.safe_dump(plain(cfg), f, sort_keys=False)
+    if tracker is not None and hasattr(tracker, "log_config"):
+        tracker.log_config(dict(flatten_config(cfg)))
+    return path
+
+
 def flatten_config(cfg: Any, prefix: str = "") -> Iterator[Tuple[str, Any]]:
     """Flatten to dotted (key, value) pairs for logging."""
     if isinstance(cfg, dict):

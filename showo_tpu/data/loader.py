@@ -89,6 +89,61 @@ class DataLoader:
             yield item
 
 
+class CheckpointableDataLoader(DataLoader):
+    """Resumable DataLoader: counts yielded batches and fast-forwards the
+    (deterministic) sample stream on restore.  The reference only ships
+    dataloader-state stubs tied to internal packages
+    (show-o2/utils.py:168-181, call sites commented out at
+    train_stage_one.py:296-299); this is a working equivalent."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.batches_yielded = 0
+        self._pending_skip = 0
+
+    def state_dict(self) -> dict:
+        return {"batches_yielded": self.batches_yielded}
+
+    def load_state_dict(self, sd: dict) -> None:
+        self._pending_skip = int(sd["batches_yielded"])
+        self.batches_yielded = self._pending_skip
+
+    def __iter__(self):
+        skip = self._pending_skip
+        self._pending_skip = 0
+        for batch in super().__iter__():
+            if skip > 0:
+                skip -= 1
+                continue
+            self.batches_yielded += 1
+            yield batch
+
+
+def save_loader_state(loader, output_dir: str, step: int) -> str:
+    """Write loader state next to the step's checkpoint dir."""
+    import json
+    import os
+
+    path = os.path.join(output_dir, f"checkpoint-{step}", "loader_state.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(loader.state_dict(), f)
+    return path
+
+
+def restore_loader_state(loader, output_dir: str, step: int) -> bool:
+    """Fast-forward ``loader`` from a saved state; returns False if none."""
+    import json
+    import os
+
+    path = os.path.join(output_dir, f"checkpoint-{step}", "loader_state.json")
+    if not os.path.exists(path):
+        return False
+    with open(path) as f:
+        loader.load_state_dict(json.load(f))
+    return True
+
+
 def device_prefetch(iterator, size: int = 2, sharding=None):
     """Overlap host->device transfer with compute: keep `size` batches
     already on device ahead of the consumer (classic jax input pipeline).

@@ -342,6 +342,9 @@ def main() -> None:
                 num_image_tokens=n_img,
                 max_seq_len=config.dataset.preprocessing.max_seq_length,
                 default_data_type=dtype))
+    from showo_tpu.config import snapshot_config
+
+    snapshot_config(config, config.experiment.output_dir)
     mixed = MixedDataLoader(loaders, mode="concat_max_size_cycle")
     trainer.fit(mixed, max_steps=int(tr.max_train_steps),
                 log_every=int(config.experiment.get("log_every", 50)),

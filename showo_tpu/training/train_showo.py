@@ -336,6 +336,9 @@ def main() -> None:
                 trainer.global_step = step
                 logger.info("resumed from step %d", step)
 
+        from showo_tpu.config import snapshot_config
+
+        snapshot_config(config, config.experiment.output_dir)
         t2i_loader, lm_loader, mmu_loader = _build_loaders(config, tokenizer)
         trainer.fit(t2i_loader, lm_loader, mmu_loader,
                     max_steps=config.training.max_train_steps,

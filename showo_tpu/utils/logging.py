@@ -84,6 +84,12 @@ class Tracker:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
+    def log_config(self, flat_config: Dict[str, Any]):
+        """Attach the flattened run config (training/utils.py:20-48)."""
+        self.config = dict(flat_config)
+        if self._wandb is not None:
+            self._wandb.config.update(flat_config, allow_val_change=True)
+
     def finish(self):
         if self._wandb is not None:
             self._wandb.finish()

@@ -59,3 +59,20 @@ def test_get_path_default():
     c = Config({"a": Config({"b": 1})})
     assert c.get_path("a.b") == 1
     assert c.get_path("a.c", 7) == 7
+
+
+def test_snapshot_config(tmp_path):
+    import yaml
+
+    from showo_tpu.config import load_config, snapshot_config
+    from showo_tpu.utils.logging import Tracker
+
+    src = tmp_path / "c.yaml"
+    src.write_text("experiment:\n  name: run1\nmodel:\n  dim: 8\n")
+    cfg = load_config(str(src), ["model.dim=16"])
+    tracker = Tracker(enabled=False)
+    path = snapshot_config(cfg, str(tmp_path / "out"), tracker)
+    back = yaml.safe_load(open(path))
+    assert back["model"]["dim"] == 16
+    assert back["experiment"]["name"] == "run1"
+    assert tracker.config["model.dim"] == 16

@@ -37,3 +37,26 @@ def test_device_prefetch():
     for i, b in enumerate(out):
         assert float(b["x"][0, 0]) == i
         assert hasattr(b["x"], "sharding")  # on device
+
+
+def test_checkpointable_loader_resume(tmp_path):
+    from showo_tpu.data.loader import (CheckpointableDataLoader,
+                                       restore_loader_state,
+                                       save_loader_state)
+
+    def samples():
+        for i in range(40):
+            yield {"x": np.full((2,), i, np.int32)}
+
+    loader = CheckpointableDataLoader(samples, batch_size=4, num_epochs=1)
+    it = iter(loader)
+    seen = [next(it)["x"][0, 0] for _ in range(3)]
+    assert seen == [0, 4, 8]
+    save_loader_state(loader, str(tmp_path), step=3)
+
+    fresh = CheckpointableDataLoader(samples, batch_size=4, num_epochs=1)
+    assert restore_loader_state(fresh, str(tmp_path), step=3)
+    resumed = [b["x"][0, 0] for b in fresh]
+    # fast-forwarded past the 3 consumed batches
+    assert resumed[0] == 12
+    assert fresh.batches_yielded == 10
