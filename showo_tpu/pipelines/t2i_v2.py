@@ -111,10 +111,19 @@ class T2IV2Pipeline:
             text = jnp.asarray(toks)
             mp_all = jnp.asarray(mp[:, 0])[:, None]
 
-        L = text.shape[1]
-        bias = omni_attn_mask(mp_all.reshape(text.shape[0], -1, 2), L)
+        # Denoise on the sequence truncated at the end of the image span:
+        # prepare_gen_input (misc.py:24-54) places eoi/eos/pads AFTER the
+        # span, and image rows attend only j < img_end (causal prefix +
+        # bidirectional span), so the suffix rows contribute nothing to the
+        # velocity — dropping them cuts ~25% of per-step FLOPs at short
+        # prompts.  Rounded up to 128 to bucket compilations / fit the
+        # packed kernel's block size.
+        mp_r = mp_all.reshape(text.shape[0], -1, 2)
+        img_end = int(np.max(np.asarray(mp_r[:, :, 0] + mp_r[:, :, 1])))
+        L = min(text.shape[1], (img_end + 127) // 128 * 128)
+        text = text[:, :L]
+        bias = omni_attn_mask(mp_r, L)
 
-        samples = self._denoise(self.params, z, text, bias,
-                                mp_all.reshape(text.shape[0], -1, 2), key)
+        samples = self._denoise(self.params, z, text, bias, mp_r, key)
         samples = samples[:B]  # cond half
         return np.asarray(self._decode(self.vae_params, samples))

@@ -81,9 +81,13 @@ class T2VPipeline:
             text = jnp.asarray(toks)
             mp_all = jnp.asarray(mp[:, 0])[:, None]
 
-        L = text.shape[1]
-        bias = omni_attn_mask(mp_all.reshape(text.shape[0], -1, 2), L)
+        # Truncate at span end: suffix rows (eoi/eos/pads) are invisible to
+        # the video rows (see t2i_v2.py) — same ~25% per-step saving.
         mp_r = mp_all.reshape(text.shape[0], -1, 2)
+        span_end = int(np.max(np.asarray(mp_r[:, :, 0] + mp_r[:, :, 1])))
+        L = min(text.shape[1], (span_end + 127) // 128 * 128)
+        text = text[:, :L]
+        bias = omni_attn_mask(mp_r, L)
 
         def drift(x, t):
             return showo2_t2i_velocity(

@@ -57,3 +57,34 @@ def test_t2i_v2_generate():
     assert imgs.shape == (2, 16, 16, 3)
     assert np.isfinite(imgs).all()
     assert imgs.min() >= -1.0 and imgs.max() <= 1.0
+
+
+def test_span_truncation_is_exact():
+    """Dropping the suffix rows (eoi/eos/pads after the image span) must
+    not change the velocity: image rows attend only j < img_end."""
+    import jax.numpy as jnp
+
+    from showo_tpu.show_o2.masks import omni_attn_mask
+    from showo_tpu.show_o2.showo2 import showo2_t2i_velocity
+
+    params = init_showo2_params(TINY, jax.random.PRNGKey(0))
+    n_img = TINY.num_image_tokens
+    B, L_full = 2, 64
+    img_start = 5
+    L_cut = img_start + n_img  # drop everything after the span
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.integers(10, 190, size=(B, L_full)), jnp.int32)
+    mp = jnp.tile(jnp.asarray([[[img_start, n_img]]], jnp.int32), (B, 1, 1))
+    z = jax.random.normal(jax.random.PRNGKey(1),
+                          (B, TINY.image_latent_dim, TINY.image_latent_height,
+                           TINY.image_latent_width))
+    t = jnp.full((B,), 0.3)
+
+    v_full = showo2_t2i_velocity(TINY, params, text, z, t,
+                                 omni_attn_mask(mp, L_full), mp,
+                                 guidance_scale=0.0)
+    v_cut = showo2_t2i_velocity(TINY, params, text[:, :L_cut], z, t,
+                                omni_attn_mask(mp, L_cut), mp,
+                                guidance_scale=0.0)
+    np.testing.assert_allclose(np.asarray(v_full), np.asarray(v_cut),
+                               atol=1e-5, rtol=1e-5)
