@@ -101,3 +101,20 @@ def test_lfq_losses(golden):
     np.testing.assert_allclose(
         float(losses["commit_loss"]) * 0.1, golden["quantizer_loss"], atol=1e-5
     )
+
+
+def test_vq_roundtrip_real_image_harness():
+    """BASELINE verification config (1) machinery: real dog.png through the
+    codec roundtrip; PSNR computable (quality needs real weights)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "tools", "eval_vq_psnr.py"),
+         "resolution=64", "platform=cpu"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr
+    assert "vq_roundtrip_psnr=" in out.stdout
