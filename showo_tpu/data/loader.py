@@ -119,24 +119,28 @@ class CheckpointableDataLoader(DataLoader):
             yield batch
 
 
-def save_loader_state(loader, output_dir: str, step: int) -> str:
+def save_loader_state(loader, output_dir: str, step: int,
+                      name: str = "loader") -> str:
     """Write loader state next to the step's checkpoint dir."""
     import json
     import os
 
-    path = os.path.join(output_dir, f"checkpoint-{step}", "loader_state.json")
+    path = os.path.join(output_dir, f"checkpoint-{step}",
+                        f"{name}_state.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(loader.state_dict(), f)
     return path
 
 
-def restore_loader_state(loader, output_dir: str, step: int) -> bool:
+def restore_loader_state(loader, output_dir: str, step: int,
+                         name: str = "loader") -> bool:
     """Fast-forward ``loader`` from a saved state; returns False if none."""
     import json
     import os
 
-    path = os.path.join(output_dir, f"checkpoint-{step}", "loader_state.json")
+    path = os.path.join(output_dir, f"checkpoint-{step}",
+                        f"{name}_state.json")
     if not os.path.exists(path):
         return False
     with open(path) as f:

@@ -254,6 +254,11 @@ class Stage1Trainer:
             if save_every and self.global_step % save_every == 0:
                 save_checkpoint((self.params, self.opt_state), output_dir,
                                 self.global_step)
+                if hasattr(mixed_loader, "state_dict"):
+                    from showo_tpu.data.loader import save_loader_state
+
+                    save_loader_state(mixed_loader, output_dir,
+                                      self.global_step)
             if generate_every and self.global_step % generate_every == 0:
                 key, k_gen, k_rec = jax.random.split(key, 3)
                 if validation_prompts and tokenizer is not None:

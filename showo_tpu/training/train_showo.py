@@ -254,6 +254,13 @@ class ShowoTrainer:
             if save_every and self.global_step % save_every == 0:
                 save_checkpoint(self.state, output_dir, self.global_step,
                                 checkpoints_total_limit)
+                from showo_tpu.data.loader import save_loader_state
+
+                for name, ld in (("t2i", t2i_loader), ("lm", lm_loader),
+                                 ("mmu", mmu_loader)):
+                    if hasattr(ld, "state_dict"):
+                        save_loader_state(ld, output_dir, self.global_step,
+                                          name=name)
             if (generate_every and validation_prompts
                     and self.global_step % generate_every == 0):
                 key, kg = jax.random.split(key)
