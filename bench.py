@@ -158,6 +158,12 @@ def main() -> None:
     from showo_tpu.ops.masks import omni_mask_predict_next
 
     cfg = ShowoConfig(num_vq_tokens=vq_tokens)
+    unroll = int(args.get("unroll", 1))
+    if unroll > 1:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, scan_unroll=unroll))
     # init under one jit: per-leaf dispatch through the device tunnel is slow
     from showo_tpu.models.phi import fuse_qkv
 

@@ -39,6 +39,9 @@ class PhiConfig:
     rope_theta: float = 10000.0
     layer_norm_eps: float = 1e-5
     max_position_embeddings: int = 2048
+    # lax.scan unroll factor for the stacked-layer loop; >1 trades compile
+    # time for better XLA scheduling across layer boundaries in decode
+    scan_unroll: int = 1
 
     @property
     def head_dim(self) -> int:
@@ -282,7 +285,8 @@ def phi_forward(
             return h, new_kv
 
         h, (new_k, new_v) = jax.lax.scan(body, h, (params["layers"],
-                                                   (cache.k, cache.v)))
+                                                   (cache.k, cache.v)),
+                                         unroll=cfg.scan_unroll)
         new_cache = KVCache(new_k, new_v, cache.length + S)
     else:
         def body(h, lp):
@@ -290,7 +294,8 @@ def phi_forward(
                             attn_meta)
             return h, None
 
-        h, _ = jax.lax.scan(body, h, params["layers"])
+        h, _ = jax.lax.scan(body, h, params["layers"],
+                            unroll=cfg.scan_unroll)
         new_cache = None
 
     h = layer_norm(h, params["final_ln"]["scale"], params["final_ln"]["bias"],
