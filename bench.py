@@ -102,6 +102,13 @@ def bench_t2i_v2(args) -> None:
     B = int(args.get("batch", 1))
     steps = int(args.get("steps", 50))
     cfg = Showo2Config()
+    unroll = int(args.get("unroll", 0))
+    if unroll > 1:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, scan_unroll=unroll),
+            dit=dataclasses.replace(cfg.dit, scan_unroll=min(unroll, 10)))
     params = jax.jit(lambda k: init_showo2_params(cfg, k, jnp.bfloat16))(
         jax.random.PRNGKey(0))
     vae_cfg = WanVAEConfig()
@@ -158,7 +165,10 @@ def main() -> None:
     from showo_tpu.ops.masks import omni_mask_predict_next
 
     cfg = ShowoConfig(num_vq_tokens=vq_tokens)
-    unroll = int(args.get("unroll", 1))
+    # full layer-loop unroll measured fastest (274.9 vs 268.0 img/min at
+    # unroll=1; partial unroll=4 regresses to 210) — XLA schedules across
+    # layer boundaries when the loop body is flat
+    unroll = int(args.get("unroll", 24))
     if unroll > 1:
         import dataclasses
 

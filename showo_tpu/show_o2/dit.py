@@ -40,6 +40,7 @@ class DiffusionHeadConfig:
     rope_factor: float = 32.0
     rope_low_freq_factor: float = 1.0
     rope_high_freq_factor: float = 4.0
+    scan_unroll: int = 1  # see models/phi.py
     rope_original_max_position: int = 8192
     num_layers: int = 10
 
@@ -211,7 +212,8 @@ def dit_forward(cfg: DiffusionHeadConfig, params, h, adaln_input,
         return layer_fn(cfg, lp, h, adaln_input, attention_bias, cos, sin,
                         modality_positions), None
 
-    h, _ = jax.lax.scan(body, h, params["layers"])
+    h, _ = jax.lax.scan(body, h, params["layers"],
+                        unroll=cfg.scan_unroll)
     return h
 
 

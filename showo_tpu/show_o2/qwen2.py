@@ -35,6 +35,9 @@ class Qwen2Config:
     rms_norm_eps: float = 1e-6
     tie_word_embeddings: bool = True
     max_position_embeddings: int = 32768
+    # layer-loop unroll (see models/phi.py: full unroll lets XLA schedule
+    # across layer boundaries; measured +2.6% on v1 decode)
+    scan_unroll: int = 1
 
 
 class Qwen2KVCache(NamedTuple):
@@ -198,7 +201,8 @@ def qwen2_forward(
             return h, new_kv
 
         h, (nk, nv) = jax.lax.scan(body, h, (params["layers"],
-                                             (cache.k, cache.v)))
+                                             (cache.k, cache.v)),
+                                   unroll=cfg.scan_unroll)
         new_cache = Qwen2KVCache(nk, nv, cache.length + S)
     else:
         def body(h, lp):
@@ -206,7 +210,8 @@ def qwen2_forward(
                             attn_meta)
             return h, None
 
-        h, _ = jax.lax.scan(body, h, params["layers"])
+        h, _ = jax.lax.scan(body, h, params["layers"],
+                            unroll=cfg.scan_unroll)
         new_cache = None
 
     h = rms_norm(h, params["final_ln"]["scale"], cfg.rms_norm_eps)
