@@ -102,7 +102,7 @@ def bench_t2i_v2(args) -> None:
     B = int(args.get("batch", 1))
     steps = int(args.get("steps", 50))
     cfg = Showo2Config()
-    unroll = int(args.get("unroll", 0))
+    unroll = int(args.get("unroll", 28))  # full unroll: 21.9 vs 21.5 img/min
     if unroll > 1:
         import dataclasses
 
