@@ -27,6 +27,12 @@ def bench_mmu(args) -> None:
     from showo_tpu.ops.masks import omni_mask_mmu
 
     cfg = ShowoConfig()
+    unroll = int(args.get("unroll", 1))
+    if unroll > 1:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, scan_unroll=unroll))
     params = jax.jit(lambda k: init_showo_params(cfg, k, jnp.bfloat16))(
         jax.random.PRNGKey(0))
     B = int(args.get("batch", 1))
