@@ -171,10 +171,10 @@ def main() -> None:
     from showo_tpu.ops.masks import omni_mask_predict_next
 
     cfg = ShowoConfig(num_vq_tokens=vq_tokens)
-    # full layer-loop unroll measured fastest (274.9 vs 268.0 img/min at
-    # unroll=1; partial unroll=4 regresses to 210) — XLA schedules across
-    # layer boundaries when the loop body is flat
-    unroll = int(args.get("unroll", 24))
+    # full layer-loop unroll wins at 256px (276 vs 268 img/min) but loses
+    # at 512px (70.8 vs 72.5) where per-layer work is large enough already;
+    # partial unroll always regresses (210 at unroll=4)
+    unroll = int(args.get("unroll", 24 if vq_tokens < 1024 else 1))
     if unroll > 1:
         import dataclasses
 
