@@ -175,11 +175,13 @@ def main() -> None:
     # at 512px (70.8 vs 72.5) where per-layer work is large enough already;
     # partial unroll always regresses (210 at unroll=4)
     unroll = int(args.get("unroll", 24 if vq_tokens < 1024 else 1))
-    if unroll > 1:
+    attn_fp32 = args.get("attn_fp32", "1") != "0"
+    if unroll > 1 or not attn_fp32:
         import dataclasses
 
         cfg = dataclasses.replace(
-            cfg, llm=dataclasses.replace(cfg.llm, scan_unroll=unroll))
+            cfg, llm=dataclasses.replace(cfg.llm, scan_unroll=unroll,
+                                         attn_fp32=attn_fp32))
     # init under one jit: per-leaf dispatch through the device tunnel is slow
     from showo_tpu.models.phi import fuse_qkv
 

@@ -42,6 +42,9 @@ class PhiConfig:
     # lax.scan unroll factor for the stacked-layer loop; >1 trades compile
     # time for better XLA scheduling across layer boundaries in decode
     scan_unroll: int = 1
+    # fp32 QK/softmax upcast (reference parity, phi.py:359-367).  False
+    # keeps scores in bf16 — an inference-speed option, off-parity.
+    attn_fp32: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -104,7 +107,8 @@ def apply_rope(q, k, cos, sin, rotary_dim):
             jnp.concatenate([k_rot, k_pass], -1))
 
 
-def _attention(q, k, v, bias, attn_meta=None, q_positions=None):
+def _attention(q, k, v, bias, attn_meta=None, q_positions=None,
+               softmax_dtype=jnp.float32):
     """q,k,v: [B, S, H, Dh]; bias: [B, 1, Q, K] additive.
 
     attn_meta: optional ("pallas"|"pallas_packed", seg, pad, last_pad,
@@ -135,11 +139,11 @@ def _attention(q, k, v, bias, attn_meta=None, q_positions=None):
     head_dim = q.shape[-1]
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk",
-        q.astype(jnp.float32), k.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+        q.astype(softmax_dtype), k.astype(softmax_dtype),
+        preferred_element_type=softmax_dtype,
     ) / math.sqrt(head_dim)
     if bias is not None:
-        scores = scores + bias.astype(jnp.float32)
+        scores = scores + bias.astype(softmax_dtype)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
@@ -231,8 +235,10 @@ def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
         new_kv = (k, v)
         q_positions = None
 
-    attn = _attention(q, k_att, v_att, bias, attn_meta,
-                      q_positions).reshape(B, S, D)
+    attn = _attention(
+        q, k_att, v_att, bias, attn_meta, q_positions,
+        softmax_dtype=jnp.float32 if cfg.attn_fp32 else jnp.bfloat16,
+    ).reshape(B, S, D)
     attn = attn @ lp["dense"]["kernel"] + lp["dense"]["bias"]
 
     mlp = jax.nn.gelu(x @ lp["fc1"]["kernel"] + lp["fc1"]["bias"], approximate=True)
