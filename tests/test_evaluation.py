@@ -61,3 +61,43 @@ def test_dpg_sweep_grid(tmp_path):
     for name in ("a", "b"):
         im = Image.open(tmp_path / "out" / f"{name}.png")
         assert im.size == (16, 16)  # 2x2 grid of 8x8
+
+
+def test_mmu_eval_scoring_and_sweep(tmp_path):
+    from PIL import Image
+
+    from showo_tpu.evaluation.mmu_eval import (normalize_answer, run_mmu_eval,
+                                               score_predictions)
+
+    assert normalize_answer("The  Cat!") == "cat"
+    m = score_predictions([
+        {"prediction": "a red ball", "answer": "red ball"},
+        {"prediction": "two dogs playing", "answer": "dogs"},
+        {"prediction": "blue", "answer": "green"},
+    ])
+    assert m["exact_match"] == 1 / 3
+    assert m["contains"] == 2 / 3
+
+    imdir = tmp_path / "imgs"
+    imdir.mkdir()
+    for i in range(2):
+        Image.new("RGB", (16, 16), (i * 100, 0, 0)).save(imdir / f"{i}.png")
+    ej = tmp_path / "eval.jsonl"
+    with open(ej, "w") as f:
+        for i in range(2):
+            f.write(json.dumps({"image": f"{i}.png", "question": "color?",
+                                "answer": "red"}) + "\n")
+
+    class Pipe:
+        resolution = 16
+
+        def answer(self, img, q, key):
+            return [1, 2]
+
+        def decode(self, toks):
+            return "red"
+
+    metrics = run_mmu_eval(Pipe(), str(ej), str(imdir), str(tmp_path / "o"),
+                           device_id=0, num_devices=1)
+    assert metrics == {"num": 2, "exact_match": 1.0, "contains": 1.0}
+    assert (tmp_path / "o" / "predictions_0.jsonl").exists()
