@@ -108,3 +108,40 @@ class LLaVADataset:
     def __iter__(self):
         for i in range(len(self)):
             yield self[i]
+
+
+def preprocess_plain(source: List[Dict[str, str]], tokenizer,
+                     eos_id: Optional[int] = None, sep: str = "\n"):
+    """Pretrain 'plain'-template captioning pair
+    (llava/llava_pretrain_data.py:32-55): the human turn is emptied, the
+    caption + sep is the target, any tokens from the (empty) prompt are
+    label-masked.  Returns (input_ids, labels) numpy arrays."""
+    assert len(source) == 2
+    caption = source[1]["value"].replace(DEFAULT_IMAGE_TOKEN, "").strip()
+    if eos_id is None:
+        eos_id = getattr(tokenizer, "eos_token_id", 0)
+    ids = list(tokenizer("" + caption + sep)["input_ids"]) + [eos_id]
+    labels = list(ids)
+    prompt_len = len(tokenizer("")["input_ids"])
+    for i in range(min(prompt_len, len(labels))):
+        labels[i] = IGNORE_INDEX
+    return np.asarray(ids, np.int64), np.asarray(labels, np.int64)
+
+
+class LLaVAPretrainDataset(LLaVADataset):
+    """CC3M-style captioning pretrain set (llava/llava_pretrain_data.py):
+    same json layout as instruct data but every record is one
+    (empty prompt, caption) pair under the plain template."""
+
+    def __getitem__(self, idx: int):
+        from PIL import Image
+
+        from showo_tpu.utils.image import image_transform
+
+        rec = self.records[idx % len(self.records)]
+        img = Image.open(os.path.join(self.image_root,
+                                      rec["image"])).convert("RGB")
+        ids, labels = preprocess_plain(rec["conversations"], self.tokenizer)
+        return {"image": image_transform(img, self.resolution),
+                "input_ids": ids[:self.max_length],
+                "labels": labels[:self.max_length]}
