@@ -68,3 +68,48 @@ def token_entropy(logits, mask=None):
         ent = jnp.where(mask, ent, 0.0)
         return ent.sum() / jnp.maximum(mask.sum(), 1)
     return ent.mean()
+
+
+def input_ids_to_masked_buckets(input_ids, mask_id, total_buckets=10):
+    """Masking-rate decile per sample (training_utils.py:418-431)."""
+    frac = (input_ids == mask_id).sum(-1) / input_ids.shape[-1]
+    return jnp.clip((frac * total_buckets).astype(jnp.int32), 0,
+                    total_buckets - 1)
+
+
+def average_by_buckets(values, buckets, total_buckets=10):
+    """Scatter-mean by bucket; empty buckets report 0
+    (training_utils.py:400-415)."""
+    one_hot = jax.nn.one_hot(buckets, total_buckets)
+    counts = one_hot.sum(0)
+    sums = (one_hot * values[:, None]).sum(0)
+    return sums / jnp.maximum(counts, 1)
+
+
+def pixel_entropy_per_percent_masked_bucket(logits, input_ids, mask_id,
+                                            total_buckets=10):
+    """Mean per-token predictive entropy over masked positions, bucketed by
+    masking rate (training_utils.py:299-320)."""
+    masked = input_ids == mask_id
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ent = -jnp.sum(jnp.exp(logp) * logp, axis=-1)
+    ent = jnp.where(masked, ent, 0.0)
+    per_image = ent.sum(-1) / jnp.maximum(masked.sum(-1), 1)
+    return average_by_buckets(
+        per_image, input_ids_to_masked_buckets(input_ids, mask_id,
+                                               total_buckets), total_buckets)
+
+
+def image_entropy_per_percent_masked_bucket(logits, input_ids, mask_id,
+                                            total_buckets=10):
+    """Entropy of the masked-position-averaged distribution per image,
+    bucketed by masking rate (training_utils.py:324-345)."""
+    masked = input_ids == mask_id
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    probs = jnp.where(masked[..., None], probs, 0.0)
+    image_probs = probs.sum(-2) / jnp.maximum(masked.sum(-1)[..., None], 1)
+    ent = -jnp.sum(image_probs * jnp.log(jnp.clip(image_probs, 1e-20)),
+                   axis=-1)
+    return average_by_buckets(
+        ent, input_ids_to_masked_buckets(input_ids, mask_id, total_buckets),
+        total_buckets)
