@@ -145,6 +145,50 @@ def bench_t2i_v2(args) -> None:
         "vs_baseline": None}))
 
 
+def bench_t2v(args) -> None:
+    """Show-o2 1.5B text-to-video throughput (joint video latents)."""
+    import numpy as np
+
+    from showo_tpu.pipelines.t2v import T2VPipeline
+    from showo_tpu.show_o2.showo2 import Showo2Config, init_showo2_params
+    from showo_tpu.show_o2.wan_vae import WanVAEConfig, init_wan_vae_params
+
+    B = int(args.get("batch", 1))
+    steps = int(args.get("steps", 20))
+    frames = int(args.get("latent_frames", 2))  # -> 4*(T-1)+1 pixel frames
+    cfg = Showo2Config()
+    params = jax.jit(lambda k: init_showo2_params(cfg, k, jnp.bfloat16))(
+        jax.random.PRNGKey(0))
+    vae_cfg = WanVAEConfig()
+    vae_params = jax.jit(lambda k: init_wan_vae_params(vae_cfg, k, jnp.bfloat16))(
+        jax.random.PRNGKey(1))
+
+    class Tok:
+        def __call__(self, text, add_special_tokens=False):
+            return {"input_ids": [7] * 16}
+
+    ids = dict(bos_id=1, eos_id=2, boi_id=3, eoi_id=4, pad_id=5,
+               img_pad_id=6, vid_pad_id=7)
+    pipe = T2VPipeline(cfg=cfg, params=params, vae_cfg=vae_cfg,
+                       vae_params=vae_params, tokenizer=Tok(), token_ids=ids,
+                       num_latent_frames=frames, guidance_scale=5.0,
+                       num_steps=steps, max_text_len=256)
+    prompts = ["a"] * B
+    out = pipe.generate(prompts, jax.random.PRNGKey(2))
+    np.asarray(out[:, :1, :2, :2])
+    pix_frames = out.shape[1]
+    iters = 2
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = pipe.generate(prompts, jax.random.PRNGKey(3 + i))
+    np.asarray(out[:, :1, :2, :2])
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "metric": f"showo2_t2v_frames_per_min_per_chip_432px_{steps}steps",
+        "value": round(B * pix_frames * 60.0 / dt, 2),
+        "unit": "frames/min/chip", "vs_baseline": None}))
+
+
 def main() -> None:
     args = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
     if args.get("metric") == "mmu":
@@ -153,6 +197,8 @@ def main() -> None:
         return bench_vq(args)
     if args.get("metric") == "t2i_v2":
         return bench_t2i_v2(args)
+    if args.get("metric") == "t2v":
+        return bench_t2v(args)
     batch = int(args.get("batch", 2))
     timesteps = int(args.get("timesteps", 16))
     attn_impl = args.get("attn", "auto")
