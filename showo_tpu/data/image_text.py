@@ -131,7 +131,7 @@ class ImageTextDataset:
 def create_imagetext_dataloader(jsonl_path: str, tokenizer, showo_token_ids,
                                 batch_size: int, **kwargs):
     """show-o2/datasets/image_text_dataset.py:187-234 equivalent."""
-    from showo_tpu.data.loader import DataLoader
+    from showo_tpu.data.loader import CheckpointableDataLoader
 
     ds = ImageTextDataset(jsonl_path, tokenizer, showo_token_ids, **kwargs)
-    return DataLoader(lambda: iter(ds), batch_size=batch_size)
+    return CheckpointableDataLoader(lambda: iter(ds), batch_size=batch_size)

@@ -40,6 +40,19 @@ class MixedDataLoader:
         self.rng = np.random.default_rng(seed)
         self.accumulation = max(1, accumulation)
 
+    def state_dict(self) -> dict:
+        """Resumable state: sampling RNG + child loader positions (working
+        version of the reference's dataloader-state stubs)."""
+        return {"rng_state": self.rng.bit_generator.state,
+                "loaders": [ld.state_dict() if hasattr(ld, "state_dict")
+                            else None for ld in self.loaders]}
+
+    def load_state_dict(self, sd: dict) -> None:
+        self.rng.bit_generator.state = sd["rng_state"]
+        for ld, s in zip(self.loaders, sd["loaders"]):
+            if s is not None and hasattr(ld, "load_state_dict"):
+                ld.load_state_dict(s)
+
     def __iter__(self):
         iters = [iter(ld) for ld in self.loaders]
         exhausted = [False] * len(iters)

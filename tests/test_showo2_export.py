@@ -60,3 +60,31 @@ def test_checkpointable_loader_resume(tmp_path):
     # fast-forwarded past the 3 consumed batches
     assert resumed[0] == 12
     assert fresh.batches_yielded == 10
+
+
+def test_mixed_loader_resume():
+    from showo_tpu.data.loader import CheckpointableDataLoader
+    from showo_tpu.data.mixed import MixedDataLoader
+
+    def source(base):
+        def gen():
+            for i in range(32):
+                yield {"x": np.full((1,), base + i, np.int32)}
+        return gen
+
+    def build():
+        return MixedDataLoader(
+            [CheckpointableDataLoader(source(0), batch_size=2, num_epochs=1),
+             CheckpointableDataLoader(source(100), batch_size=2, num_epochs=1)],
+            mode="min_size", seed=7)
+
+    a = build()
+    it = iter(a)
+    consumed = [int(next(it)["x"][0, 0]) for _ in range(5)]
+    sd = a.state_dict()
+    rest_a = [int(b["x"][0, 0]) for b in it]
+
+    b = build()
+    b.load_state_dict(sd)
+    rest_b = [int(x["x"][0, 0]) for x in b]
+    assert rest_b == rest_a, (consumed, rest_a, rest_b)
