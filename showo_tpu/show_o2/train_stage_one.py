@@ -351,6 +351,22 @@ def main() -> None:
 
     snapshot_config(config, config.experiment.output_dir)
     mixed = MixedDataLoader(loaders, mode="concat_max_size_cycle")
+
+    # resume_from_checkpoint='latest' (train_stage_one.py:269-299): restore
+    # params+opt state, derive global_step, fast-forward the data stream
+    if config.experiment.get("resume_from_checkpoint") == "latest":
+        from showo_tpu.data.loader import restore_loader_state
+        from showo_tpu.utils.checkpoint import resume_latest
+
+        state, step = resume_latest(config.experiment.output_dir,
+                                    (trainer.params, trainer.opt_state))
+        if state is not None:
+            trainer.params, trainer.opt_state = jax.tree.map(
+                jnp.asarray, state)
+            trainer.global_step = step
+            restore_loader_state(mixed, config.experiment.output_dir, step)
+            logger.info("resumed from step %d", step)
+
     trainer.fit(mixed, max_steps=int(tr.max_train_steps),
                 log_every=int(config.experiment.get("log_every", 50)),
                 save_every=config.experiment.get("save_every"),
