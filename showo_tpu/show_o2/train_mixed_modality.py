@@ -115,5 +115,9 @@ class MixedModalTrainer:
             if save_every and self.global_step % save_every == 0:
                 save_checkpoint((self.params, self.opt_state), output_dir,
                                 self.global_step)
+                if hasattr(loader, "state_dict"):
+                    from showo_tpu.data.loader import save_loader_state
+
+                    save_loader_state(loader, output_dir, self.global_step)
             if self.global_step >= max_steps:
                 break
