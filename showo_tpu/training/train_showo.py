@@ -347,6 +347,14 @@ def main() -> None:
 
         snapshot_config(config, config.experiment.output_dir)
         t2i_loader, lm_loader, mmu_loader = _build_loaders(config, tokenizer)
+        if trainer.global_step > 0:  # resumed: fast-forward data streams
+            from showo_tpu.data.loader import restore_loader_state
+
+            for name, ld in (("t2i", t2i_loader), ("lm", lm_loader),
+                             ("mmu", mmu_loader)):
+                if hasattr(ld, "load_state_dict"):
+                    restore_loader_state(ld, config.experiment.output_dir,
+                                         trainer.global_step, name=name)
         trainer.fit(t2i_loader, lm_loader, mmu_loader,
                     max_steps=config.training.max_train_steps,
                     log_every=config.experiment.get("log_every", 50),
