@@ -76,3 +76,108 @@ class Stage2Trainer(Stage1Trainer):
         self.step_fn = make_stage1_step(self.cfg, self.vae_cfg, self.sc,
                                         self.transport, self.optimizer)
         self.global_step = 0
+
+
+def main() -> None:
+    """CLI: python -m showo_tpu.show_o2.train_stage_two
+    config=configs/showo2_1.5b_stage_2_a.yaml — the stage-2 recipe
+    (show-o2/train_stage_two.py): all towers trainable with 3 LR groups
+    (und / fusion-projector / main), und_max_t0=1.0 (flow loss off for
+    pure-und batches)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from showo_tpu.config import get_config, snapshot_config
+    from showo_tpu.data.image_text import create_imagetext_dataloader
+    from showo_tpu.data.loader import restore_loader_state
+    from showo_tpu.data.mixed import MixedDataLoader
+    from showo_tpu.inference_t2i_v2 import (build_showo2_config,
+                                            load_tokenizer_and_ids)
+    from showo_tpu.show_o2.showo2 import init_showo2_params
+    from showo_tpu.show_o2.transport import Transport
+    from showo_tpu.show_o2.wan_vae import WanVAEConfig, init_wan_vae_params
+    from showo_tpu.utils.checkpoint import resume_latest
+    from showo_tpu.utils.logging import get_logger
+
+    logger = get_logger(__name__)
+    config = get_config()
+    cfg = build_showo2_config(config)
+    tokenizer, token_ids = load_tokenizer_and_ids(config)
+
+    ckpt = config.model.showo.get("pretrained_model_path", "random")
+    if ckpt != "random" and os.path.exists(str(ckpt)):
+        from showo_tpu.utils.checkpoint import _load_dir_or_file
+        from showo_tpu.utils.torch_import import showo2_params_from_torch
+
+        params = jax.tree.map(jnp.asarray, showo2_params_from_torch(
+            _load_dir_or_file(str(ckpt))))
+    else:
+        logger.warning("random-init Showo2 (%s)", ckpt)
+        params = init_showo2_params(cfg, jax.random.PRNGKey(0))
+
+    vae_cfg = WanVAEConfig()
+    vae_path = config.model.vae_model.pretrained_model_path
+    if os.path.exists(str(vae_path)):
+        from showo_tpu.utils.checkpoint import load_wan_vae_weights
+
+        vae_params = jax.tree.map(jnp.asarray,
+                                  load_wan_vae_weights(str(vae_path)))
+    else:
+        logger.warning("random-init WanVAE (%s)", vae_path)
+        vae_params = init_wan_vae_params(vae_cfg, jax.random.PRNGKey(1))
+
+    tr = config.training
+    sc = Stage2Config(
+        lr_und=float(tr.get("learning_rate_ve", 5e-5)),
+        lr_fusion=float(tr.get("learning_rate_proj", 5e-5)),
+        lr_main=float(tr.get("learning_rate_showo", 5e-5)),
+        max_grad_norm=float(tr.get("max_grad_norm", 1.0)),
+        ntp_coeff=float(tr.get("ntp_coeff", 0.2)),
+        flow_coeff=float(tr.get("flow_coeff", 1.0)),
+        und_max_t0=tr.get("und_max_t0", 1.0))
+
+    n_img = config.dataset.preprocessing.num_t2i_image_tokens \
+        + (1 if cfg.add_time_embeds else 0)
+    transport = Transport(snr_type=config.transport.get("snr_type", "lognorm"),
+                          do_shift=config.transport.get("do_shift", True),
+                          seq_len=n_img)
+
+    trainer = Stage2Trainer(
+        cfg=cfg, vae_cfg=vae_cfg, sc=sc, params=params,
+        vae_params=vae_params, transport=transport,
+        frozen_substrings=tuple(config.model.get("frozen_params", [])))
+
+    dp = config.dataset.params
+    loaders = []
+    for key_name, bs, dtype in ((dp.get("t2i_jsonl"), tr.batch_size_t2i, "t2i"),
+                                (dp.get("mmu_jsonl"), tr.batch_size_mmu, "mmu")):
+        if key_name:
+            loaders.append(create_imagetext_dataloader(
+                key_name, tokenizer, token_ids, batch_size=bs,
+                resolution=config.dataset.preprocessing.resolution,
+                num_image_tokens=n_img,
+                max_seq_len=config.dataset.preprocessing.max_seq_length,
+                default_data_type=dtype))
+    mixed = MixedDataLoader(loaders, mode="concat_max_size_cycle")
+
+    snapshot_config(config, config.experiment.output_dir)
+    if config.experiment.get("resume_from_checkpoint") == "latest":
+        state, step = resume_latest(config.experiment.output_dir,
+                                    (trainer.params, trainer.opt_state))
+        if state is not None:
+            trainer.params, trainer.opt_state = jax.tree.map(
+                jnp.asarray, state)
+            trainer.global_step = step
+            restore_loader_state(mixed, config.experiment.output_dir, step)
+            logger.info("resumed from step %d", step)
+
+    trainer.fit(mixed, max_steps=int(tr.get("max_train_steps") or 10000),
+                log_every=int(config.experiment.get("log_every", 50)),
+                save_every=config.experiment.get("save_every"),
+                output_dir=config.experiment.output_dir,
+                seed=int(tr.get("seed", 0)))
+
+
+if __name__ == "__main__":
+    main()
