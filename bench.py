@@ -67,32 +67,44 @@ def bench_mmu(args) -> None:
 
 
 def bench_vq(args) -> None:
-    """MAGVIT-v2 VQ encode megapixels/s."""
+    """MAGVIT-v2 VQ encode (or mode=decode) megapixels/s."""
     import numpy as np
 
     from showo_tpu.models.magvit import MagvitV2, VQConfig
 
     res = int(args.get("resolution", 256))
     B = int(args.get("batch", 16))
+    mode = args.get("mode", "encode")
     vq = MagvitV2(VQConfig())
     params = vq.init(jax.random.PRNGKey(0), jnp.zeros((1, res, res, 3)))["params"]
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-    pixels = jax.random.normal(jax.random.PRNGKey(1), (B, res, res, 3),
-                               jnp.bfloat16)
 
-    @jax.jit
-    def enc(params, pixels):
-        return vq.apply({"params": params}, pixels, method=vq.get_code)
+    if mode == "decode":
+        n = (res // 16) ** 2
+        codes = jax.random.randint(jax.random.PRNGKey(1), (B, n), 0, 8192)
 
-    np.asarray(enc(params, pixels))
+        @jax.jit
+        def fn(params, x):
+            return vq.apply({"params": params}, x, method=vq.decode_code)
+
+        arg = codes
+    else:
+        arg = jax.random.normal(jax.random.PRNGKey(1), (B, res, res, 3),
+                                jnp.bfloat16)
+
+        @jax.jit
+        def fn(params, x):
+            return vq.apply({"params": params}, x, method=vq.get_code)
+
+    np.asarray(fn(params, arg)).ravel()[:1]
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = enc(params, pixels)
-    np.asarray(out)
+        out = fn(params, arg)
+    np.asarray(out).ravel()[:1]
     dt = (time.perf_counter() - t0) / iters
     mpix_s = B * res * res / dt / 1e6
-    print(json.dumps({"metric": f"vq_encode_mpix_per_s_{res}px",
+    print(json.dumps({"metric": f"vq_{mode}_mpix_per_s_{res}px",
                       "value": round(mpix_s, 2), "unit": "Mpix/s",
                       "vs_baseline": None}))
 
