@@ -338,8 +338,9 @@ def main() -> None:
 
     dp = config.dataset.params
     loaders = []
-    for key_name, bs, dtype in ((dp.get("t2i_jsonl"), tr.batch_size_t2i, "t2i"),
-                                (dp.get("mmu_jsonl"), tr.batch_size_mmu, "mmu")):
+    for key_name, bs, dtype in (
+            (dp.get("t2i_jsonl"), tr.get("batch_size_t2i", 1), "t2i"),
+            (dp.get("mmu_jsonl"), tr.get("batch_size_mmu", 1), "mmu")):
         if key_name:
             loaders.append(create_imagetext_dataloader(
                 key_name, tokenizer, token_ids, batch_size=bs,
