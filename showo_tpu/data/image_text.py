@@ -36,13 +36,23 @@ class ImageTextDataset:
                  cond_dropout_prob: float = 0.1,
                  random_und_or_gen: float = 0.0, min_res: int = 0,
                  seed: int = 0, default_data_type: str = "t2i",
-                 with_clip: bool = False):
+                 with_clip: bool = False, shard: bool = True):
         self.records: List[dict] = []
         with open(jsonl_path) as f:
             for line in f:
                 line = line.strip()
                 if line:
                     self.records.append(json.loads(line))
+        if shard:
+            # per-process record shard (DistributedSampler analogue,
+            # image_text_dataset.py:220-226) — without it every jax process
+            # would read the identical jsonl stream, duplicating data
+            # inside the global batch
+            from showo_tpu.data.loader import shard_for_process
+
+            sharded = shard_for_process(self.records)
+            if sharded:
+                self.records = sharded
         self.image_root = image_root
         self.tokenizer = tokenizer
         self.ids = showo_token_ids

@@ -69,23 +69,32 @@ class MixedDataLoader:
                 return next(iters[i])
 
         if self.mode == "max_size_cycle":
-            choice = None
-            step = 0
+            # reference _max_size_cycle: a FRESH weighted pick per
+            # sub-batch, `accumulation` sub-batches collated into ONE
+            # yielded batch; wrapped batches are yielded, not dropped
+            # (the reference iterator is infinite — termination once every
+            # loader has exhausted at least once is this framework's
+            # finite-loader extension).
             while True:
-                if step % self.accumulation == 0:
-                    choice = int(self.rng.choice(len(iters), p=self.weights))
-                batch = pull(choice, cycle=True)
+                batches = []
+                for _ in range(self.accumulation):
+                    i = int(self.rng.choice(len(iters), p=self.weights))
+                    batches.append(pull(i, cycle=True))
+                yield batches[0] if len(batches) == 1 \
+                    else _concat_batches(batches)
                 if all(exhausted):
                     return
-                yield batch
-                step += 1
         elif self.mode == "min_size":
             while True:
-                i = int(self.rng.choice(len(iters), p=self.weights))
-                batch = pull(i, cycle=False)
-                if batch is None:
-                    return
-                yield batch
+                batches = []
+                for _ in range(self.accumulation):
+                    i = int(self.rng.choice(len(iters), p=self.weights))
+                    b = pull(i, cycle=False)
+                    if b is None:
+                        return
+                    batches.append(b)
+                yield batches[0] if len(batches) == 1 \
+                    else _concat_batches(batches)
         elif self.mode in ("concat_max_size_cycle", "concat_min_size"):
             cycle = self.mode == "concat_max_size_cycle"
             while True:
@@ -102,9 +111,9 @@ class MixedDataLoader:
             i = 0
             while True:
                 batch = pull(i % len(iters), cycle=True)
+                yield batch
                 if all(exhausted):
                     return
-                yield batch
                 i += 1
         else:
             raise ValueError(f"unknown mode {self.mode}")

@@ -47,12 +47,15 @@ class Stage1Config:
     und_max_t0: float = 1.0        # showo2_1.5b_stage_1_a.yaml und_max_t0
     weight_decay: float = 0.01
     warmup_steps: int = 0
+    grad_accum_steps: int = 1      # gradient_accumulation_steps
 
 
 def make_stage1_optimizer(sc: Stage1Config, params,
                           frozen_substrings: Sequence[str] = ()):
     lr = (optax.linear_schedule(0.0, sc.learning_rate, sc.warmup_steps)
           if sc.warmup_steps > 0 else sc.learning_rate)
+    from showo_tpu.training.train_step import with_grad_accum
+
     base = optax.chain(
         optax.clip_by_global_norm(sc.max_grad_norm),
         optax.adamw(lr, weight_decay=sc.weight_decay),
@@ -60,9 +63,9 @@ def make_stage1_optimizer(sc: Stage1Config, params,
     if frozen_substrings:
         labels = jax.tree.map(lambda t: "train" if t else "freeze",
                               trainable_mask(params, frozen_substrings))
-        return optax.multi_transform(
+        base = optax.multi_transform(
             {"train": base, "freeze": optax.set_to_zero()}, labels)
-    return base
+    return with_grad_accum(base, sc.grad_accum_steps)
 
 
 def make_stage1_step(cfg: Showo2Config, vae_cfg: WanVAEConfig,
@@ -93,11 +96,21 @@ def make_stage1_step(cfg: Showo2Config, vae_cfg: WanVAEConfig,
             latents = wan_encode(vae_cfg, vae_params, pixels, k_vae)[:, :, 0]
         latents = jax.lax.stop_gradient(latents)
 
-        # transport corruption; und samples get weak noise (t near 1)
-        t = transport.sample_t(k_t, B)
+        # transport corruption.  und samples draw t via the reference's
+        # max_t0 path — t0 = und_max_t0 set BEFORE the lognorm draw and
+        # do_shift warp (reference transport.py:107-130) — selected
+        # per-sample (train_stage_one.py:369-374).
+        t_gen = transport.sample_t(k_t, B)
+        image_masks = batch["image_masks"]
         if sc.und_max_t0 is not None:
-            t = jnp.where(batch["is_und"] > 0,
-                          sc.und_max_t0 * (1.0 - t) + t, t)
+            t_und = transport.sample_t(k_t, B, max_t0=sc.und_max_t0)
+            t = jnp.where(batch["is_und"] > 0, t_und, t_gen)
+            if sc.und_max_t0 == 1.0:
+                # und samples are clean (t=1): zero their flow-loss rows
+                # PER SAMPLE (train_stage_one.py:379-380 image_masks[i]*0.0)
+                image_masks = image_masks * (1 - batch["is_und"])[:, None]
+        else:
+            t = t_gen
         x0 = jax.random.normal(k_noise, latents.shape, latents.dtype)
         _, xt, ut = transport.path_sampler.plan(t, x0, latents)
 
@@ -108,12 +121,8 @@ def make_stage1_step(cfg: Showo2Config, vae_cfg: WanVAEConfig,
                 cfg, params, batch["text_tokens"], xt, t, bias,
                 batch["modality_positions"],
                 text_labels=batch["text_labels"], image_labels=ut,
-                image_masks=batch["image_masks"], remat=True)
+                image_masks=image_masks, remat=True)
             loss_flow = out["loss_flow"]
-            if sc.und_max_t0 == 1.0:
-                # flow loss zeroed for pure-und batches (train_stage_one.py:369-382)
-                frac_gen = 1.0 - batch["is_und"].mean()
-                loss_flow = jnp.where(batch["is_und"].all(), 0.0, loss_flow)
             total = sc.ntp_coeff * out["loss_ntp"] + sc.flow_coeff * loss_flow
             return total, (out["loss_ntp"], loss_flow)
 
@@ -237,9 +246,13 @@ class Stage1Trainer:
         current batch."""
         from showo_tpu.utils.checkpoint import save_checkpoint
 
-        key = jax.random.PRNGKey(seed)
+        base_key = jax.random.PRNGKey(seed)
         for batch in mixed_loader:
-            key, k = jax.random.split(key)
+            # RNG-exact resume: the step key depends only on (seed,
+            # global_step), so a resumed run replays the same corruption /
+            # noise sequence it would have seen uninterrupted.
+            k, k_gen, k_rec = jax.random.split(
+                jax.random.fold_in(base_key, self.global_step), 3)
             is_und = np.asarray(
                 [1 if d == "mmu" else 0 for d in batch.get(
                     "data_type", ["t2i"] * len(batch["text_tokens"]))],
@@ -260,7 +273,6 @@ class Stage1Trainer:
                     save_loader_state(mixed_loader, output_dir,
                                       self.global_step)
             if generate_every and self.global_step % generate_every == 0:
-                key, k_gen, k_rec = jax.random.split(key, 3)
                 if validation_prompts and tokenizer is not None:
                     self.generate_validation_images(
                         validation_prompts, tokenizer, token_ids, k_gen,
@@ -323,7 +335,8 @@ def main() -> None:
         ntp_coeff=float(tr.get("ntp_coeff", 0.2)),
         flow_coeff=float(tr.get("flow_coeff", 1.0)),
         und_max_t0=tr.get("und_max_t0", 1.0),
-        warmup_steps=int(tr.get("warmup_steps", 0)))
+        warmup_steps=int(tr.get("warmup_steps", 0)),
+        grad_accum_steps=int(tr.get("gradient_accumulation_steps", 1)))
 
     n_img = config.dataset.preprocessing.num_t2i_image_tokens \
         + (1 if cfg.add_time_embeds else 0)

@@ -58,9 +58,12 @@ def make_stage2_optimizer(sc: Stage2Config, params,
 
         mask = trainable_mask(params, frozen_substrings)
         labels = jax.tree.map(lambda g, t: g if t else "freeze", labels, mask)
-    return optax.multi_transform(
+    from showo_tpu.training.train_step import with_grad_accum
+
+    return with_grad_accum(optax.multi_transform(
         {"und": adamw(sc.lr_und), "fusion": adamw(sc.lr_fusion),
-         "main": adamw(sc.lr_main), "freeze": optax.set_to_zero()}, labels)
+         "main": adamw(sc.lr_main), "freeze": optax.set_to_zero()}, labels),
+        sc.grad_accum_steps)
 
 
 @dataclasses.dataclass
@@ -135,7 +138,8 @@ def main() -> None:
         max_grad_norm=float(tr.get("max_grad_norm", 1.0)),
         ntp_coeff=float(tr.get("ntp_coeff", 0.2)),
         flow_coeff=float(tr.get("flow_coeff", 1.0)),
-        und_max_t0=tr.get("und_max_t0", 1.0))
+        und_max_t0=tr.get("und_max_t0", 1.0),
+        grad_accum_steps=int(tr.get("gradient_accumulation_steps", 1)))
 
     n_img = config.dataset.preprocessing.num_t2i_image_tokens \
         + (1 if cfg.add_time_embeds else 0)

@@ -155,6 +155,7 @@ class ShowoTrainer:
             lm_coeff=tr.get("lm_coeff", 0.1),
             mmu_coeff=tr.get("mmu_coeff", 1.0),
             max_seq_length=c.dataset.preprocessing.max_seq_length,
+            grad_accum_steps=int(tr.get("gradient_accumulation_steps", 1)),
         )
         from showo_tpu.training.lr_schedules import get_lr_schedule
 

@@ -47,9 +47,12 @@ def make_projector_lr_optimizer(tc: TrainConfig, params,
                                        eps=tc.adam_eps,
                                        weight_decay=tc.weight_decay))
 
-    return optax.multi_transform(
+    from showo_tpu.training.train_step import with_grad_accum
+
+    return with_grad_accum(optax.multi_transform(
         {"base": adamw(tc.learning_rate),
-         "proj": adamw(tc.learning_rate * projector_lr_scale)}, labels)
+         "proj": adamw(tc.learning_rate * projector_lr_scale)}, labels),
+        tc.grad_accum_steps)
 
 
 def make_fused_clip_train_step(cfg: ShowoConfig, vq_cfg: VQConfig,

@@ -35,15 +35,27 @@ class TrainConfig:
     grad_accum_steps: int = 1
 
 
+def with_grad_accum(optimizer: optax.GradientTransformation,
+                    grad_accum_steps: int) -> optax.GradientTransformation:
+    """Gradient accumulation (reference train.py:589 accelerator.accumulate;
+    train_stage_one.py:453-471 manual ``% grad_accum``): each call
+    accumulates the mean gradient, the wrapped update (incl. clipping)
+    fires every ``grad_accum_steps`` calls — identical math to the
+    reference's sum of loss/k backwards."""
+    if grad_accum_steps <= 1:
+        return optimizer
+    return optax.MultiSteps(optimizer, every_k_schedule=grad_accum_steps)
+
+
 def make_optimizer(tc: TrainConfig, lr_schedule=None) -> optax.GradientTransformation:
-    return optax.chain(
+    return with_grad_accum(optax.chain(
         optax.clip_by_global_norm(tc.max_grad_norm),
         optax.adamw(
             learning_rate=lr_schedule if lr_schedule is not None else tc.learning_rate,
             b1=tc.adam_beta1, b2=tc.adam_beta2, eps=tc.adam_eps,
             weight_decay=tc.weight_decay,
         ),
-    )
+    ), tc.grad_accum_steps)
 
 
 class TrainState(NamedTuple):

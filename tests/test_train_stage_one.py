@@ -150,3 +150,50 @@ def test_stage1_video_batch():
     m = trainer.train_step(batch, jax.random.PRNGKey(5))
     assert np.isfinite(float(m["loss"]))
     assert float(m["loss_flow"]) > 0
+
+
+def test_und_flow_loss_zeroed_per_sample():
+    """With und_max_t0 == 1.0 a mixed batch zeroes the flow loss only for
+    the und rows (reference train_stage_one.py:379-380 image_masks[i]*0.0):
+    changing the und sample's image must not change any loss (its t is
+    forced to ~1 and its flow rows are masked), while changing the gen
+    sample's image must."""
+    params = init_showo2_params(TINY, jax.random.PRNGKey(0))
+    vae_params = init_wan_vae_params(VAE_TINY, jax.random.PRNGKey(1))
+    sc = Stage1Config(und_max_t0=1.0)
+    trainer = Stage1Trainer(
+        cfg=TINY, vae_cfg=VAE_TINY, sc=sc, params=params,
+        vae_params=vae_params,
+        transport=Transport(snr_type="lognorm", do_shift=True, seq_len=N_IMG))
+
+    batch = _batch(B=2)
+    batch["is_und"] = np.asarray([0, 1], np.int32)
+    # und sample: no text labels so ntp is also image-independent
+    batch["text_labels"][1] = -100
+
+    def flow_loss(images):
+        b = dict(batch, images=images)
+        # the fused step donates params/opt buffers — keep live copies
+        p = jax.tree.map(jnp.copy, trainer.params)
+        o = jax.tree.map(jnp.copy, trainer.opt_state)
+        m = trainer.train_step(b, jax.random.PRNGKey(7))
+        trainer.params, trainer.opt_state = p, o  # undo the update
+        trainer.global_step = 0
+        return float(m["loss_flow"]), float(m["loss"])
+
+    base_imgs = batch["images"].copy()
+    f0, t0 = flow_loss(base_imgs)
+    assert f0 > 0  # gen sample still contributes flow loss
+
+    # perturb the UND sample's image -> losses unchanged (masked out)
+    imgs_und = base_imgs.copy()
+    imgs_und[1] = -2.0 * imgs_und[1] + 5.0
+    f1, t1 = flow_loss(imgs_und)
+    np.testing.assert_allclose(f1, f0, rtol=1e-5)
+    np.testing.assert_allclose(t1, t0, rtol=1e-5)
+
+    # the same perturbation on the GEN sample -> flow loss changes
+    imgs_gen = base_imgs.copy()
+    imgs_gen[0] = -2.0 * imgs_gen[0] + 5.0
+    f2, _ = flow_loss(imgs_gen)
+    assert abs(f2 - f0) > 10 * abs(f1 - f0) and abs(f2 - f0) > 1e-4
