@@ -168,7 +168,8 @@ def main() -> None:
     snapshot_config(config, config.experiment.output_dir)
     if config.experiment.get("resume_from_checkpoint") == "latest":
         state, step = resume_latest(config.experiment.output_dir,
-                                    (trainer.params, trainer.opt_state))
+                                    (trainer.params, trainer.opt_state),
+                                    params_only_fallback=True)
         if state is not None:
             trainer.params, trainer.opt_state = jax.tree.map(
                 jnp.asarray, state)
@@ -176,11 +177,16 @@ def main() -> None:
             restore_loader_state(mixed, config.experiment.output_dir, step)
             logger.info("resumed from step %d", step)
 
+    from showo_tpu.training.train_showo import load_validation_prompts
+
     trainer.fit(mixed, max_steps=int(tr.get("max_train_steps") or 10000),
                 log_every=int(config.experiment.get("log_every", 50)),
                 save_every=config.experiment.get("save_every"),
                 output_dir=config.experiment.output_dir,
-                seed=int(tr.get("seed", 0)))
+                seed=int(tr.get("seed", 0)),
+                generate_every=config.experiment.get("generate_every"),
+                validation_prompts=load_validation_prompts(config) or (),
+                tokenizer=tokenizer, token_ids=token_ids)
 
 
 if __name__ == "__main__":

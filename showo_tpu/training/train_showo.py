@@ -34,6 +34,30 @@ from showo_tpu.utils.logging import AverageMeter, Stopwatch, Tracker, get_logger
 logger = get_logger(__name__)
 
 
+def max_size_cycle_zip(*loaders):
+    """Zip loaders, restarting exhausted ones until every loader has
+    completed at least one pass (Lightning CombinedLoader
+    'max_size_cycle', reference train.py:414-421) — a finite t2i epoch no
+    longer silently ends training when the lm/mmu streams are longer."""
+    its = [iter(ld) for ld in loaders]
+    exhausted = [False] * len(its)
+    while True:
+        out = []
+        for i in range(len(its)):
+            try:
+                b = next(its[i])
+            except StopIteration:
+                exhausted[i] = True
+                if all(exhausted):
+                    return
+                its[i] = iter(loaders[i])
+                b = next(its[i])
+            out.append(b)
+        if all(exhausted):
+            return
+        yield tuple(out)
+
+
 def assemble_t2i(text_block, img_ids, img_labels, soi, eoi, pad_id,
                  ignore_id=-100):
     """[pad..text][soi]img[eoi] ids + labels (prompting_utils.py:59-90),
@@ -226,6 +250,73 @@ class ShowoTrainer:
         self.tracker.log({"val_images": len(pils)}, step=self.global_step)
         return images
 
+    def visualize_predictions(self, t2i_batch, key, output_dir: str):
+        """[original | VQ reconstruction | predicted] triptychs from the
+        current t2i batch (train.py:715-763): re-run the step's corruption
+        with the SAME key, take argmax over the codebook logits slice at
+        the masked positions, decode all three."""
+        import os
+
+        from showo_tpu.models.showo import showo_forward
+        from showo_tpu.utils.image import to_pil_images
+
+        vq = MagvitV2(self.vq_cfg)
+        cfg, tc = self.cfg, self.tc
+        sp = self.uni_prompting.sptids
+        pad, soi, eoi = sp["<|pad|>"], sp["<|soi|>"], sp["<|eoi|>"]
+        tr = self.config.training
+        schedule = get_mask_schedule(tr.get("mask_schedule", "cosine"))
+
+        @jax.jit
+        def viz(params, vq_params, pixels, text_block, key):
+            k_corrupt, = jax.random.split(key, 1)
+            tokens = vq.apply({"params": vq_params}, pixels,
+                              method=vq.get_code)
+            noised, _, _, _ = mask_or_random_replace_tokens(
+                k_corrupt, tokens, cfg.mask_token_id, schedule,
+                min_masking_rate=tr.get("min_masking_rate", 0.0),
+                codebook_size=cfg.codebook_size)
+            img_unified = jnp.where(noised == cfg.mask_token_id,
+                                    cfg.mask_token_id,
+                                    noised + cfg.codebook_offset)
+            ids, _ = assemble_t2i(text_block, img_unified, img_unified,
+                                  soi, eoi, pad)
+            bias = omni_mask_predict_next(ids, pad_id=pad, soi_id=soi,
+                                          eoi_id=eoi, rm_pad_in_image=True)
+            logits, _ = showo_forward(cfg, params, input_ids=ids,
+                                      attention_bias=bias)
+            n_vq = cfg.num_vq_tokens
+            pred = jnp.argmax(
+                logits[:, -(n_vq + 1):-1,
+                       cfg.codebook_offset:cfg.codebook_offset
+                       + cfg.codebook_size], axis=-1)
+            is_masked = noised == cfg.mask_token_id
+            predicted_tokens = jnp.where(is_masked, pred, tokens)
+            mask_ratio = is_masked.mean(axis=-1)
+            recon = vq.apply({"params": vq_params}, tokens,
+                             method=vq.decode_code)
+            predicted = vq.apply({"params": vq_params}, predicted_tokens,
+                                 method=vq.decode_code)
+            return recon, predicted, mask_ratio
+
+        pixels = jnp.asarray(t2i_batch["image"])
+        text_block = jnp.asarray(
+            self.uni_prompting.t2i_text_block(t2i_batch["text"]))
+        recon, predicted, mask_ratio = viz(self.state.params, self.vq_params,
+                                           pixels, text_block, key)
+        panel = np.concatenate([np.asarray(pixels, np.float32),
+                                np.asarray(recon, np.float32),
+                                np.asarray(predicted, np.float32)], axis=2)
+        viz_dir = os.path.join(output_dir, "predictions")
+        os.makedirs(viz_dir, exist_ok=True)
+        for i, im in enumerate(to_pil_images(panel)):
+            im.save(os.path.join(
+                viz_dir, f"step{self.global_step:07d}_{i:02d}"
+                f"_mask{float(mask_ratio[i]):.2f}.png"))
+        self.tracker.log({"viz_mask_ratio": float(mask_ratio.mean())},
+                         step=self.global_step)
+        return panel
+
     def fit(self, t2i_loader, lm_loader, mmu_loader, max_steps: int,
             log_every: int = 50, save_every: Optional[int] = None,
             output_dir: str = "output",
@@ -234,12 +325,14 @@ class ShowoTrainer:
             validation_prompts=None):
         from showo_tpu.utils.checkpoint import save_checkpoint
 
-        key = jax.random.PRNGKey(seed)
+        base_key = jax.random.PRNGKey(seed)
         watch = Stopwatch()
         batch_time = AverageMeter()
-        it = zip(iter(t2i_loader), iter(lm_loader), iter(mmu_loader))
+        it = max_size_cycle_zip(t2i_loader, lm_loader, mmu_loader)
         for (t2i_b, lm_b, mmu_b) in it:
-            key, k = jax.random.split(key)
+            # step key depends only on (seed, global_step): RNG-exact resume
+            k, kg = jax.random.split(
+                jax.random.fold_in(base_key, self.global_step))
             metrics = self.train_step(t2i_b, lm_b["input_ids"], mmu_b, k)
             batch_time.update(watch.lap())
             if self.global_step % log_every == 0:
@@ -262,11 +355,13 @@ class ShowoTrainer:
                     if hasattr(ld, "state_dict"):
                         save_loader_state(ld, output_dir, self.global_step,
                                           name=name)
-            if (generate_every and validation_prompts
-                    and self.global_step % generate_every == 0):
-                key, kg = jax.random.split(key)
-                self.generate_validation_images(validation_prompts, kg,
-                                                output_dir)
+            if generate_every and self.global_step % generate_every == 0:
+                if validation_prompts:
+                    self.generate_validation_images(validation_prompts, kg,
+                                                    output_dir)
+                # original/recon/predicted triptych on the live batch
+                # (train.py:683-693 visualize_predictions)
+                self.visualize_predictions(t2i_b, k, output_dir)
             if self.global_step >= max_steps:
                 break
         return self.state
@@ -363,7 +458,20 @@ def main() -> None:
                     output_dir=config.experiment.output_dir,
                     checkpoints_total_limit=config.experiment.get(
                         "checkpoints_total_limit"),
-                    seed=config.training.get("seed", 0))
+                    seed=config.training.get("seed", 0),
+                    generate_every=config.experiment.get("generate_every"),
+                    validation_prompts=load_validation_prompts(config))
+
+
+def load_validation_prompts(config):
+    """validation_prompts from config: inline list or a prompts file
+    (train.py:672-683 config.dataset.params.validation_prompts_file)."""
+    vp = config.dataset.params.get("validation_prompts_file")
+    if vp and os.path.exists(str(vp)):
+        with open(str(vp)) as f:
+            return [ln.strip() for ln in f if ln.strip()]
+    inline = config.get("validation_prompts")
+    return list(inline) if inline else None
 
 
 if __name__ == "__main__":

@@ -66,13 +66,32 @@ def restore_checkpoint(path: str, target: Any = None):
     return item, step
 
 
-def resume_latest(output_dir: str, target: Any = None):
+def resume_latest(output_dir: str, target: Any = None,
+                  params_only_fallback: bool = False):
     """resume_from_checkpoint='latest' semantics; returns (state, step) or
-    (None, 0)."""
+    (None, 0).
+
+    params_only_fallback: when the saved state's optimizer pytree no
+    longer matches the current one (e.g. the two-phase mixed-modality
+    recipe changes frozen_params between invocations,
+    show-o2/README.md:293-309), restore only the params (element 0 of the
+    (params, opt_state) tuple) and keep the caller's fresh optimizer
+    state — the reference's weights-only resume behavior."""
     path = latest_checkpoint(output_dir)
     if path is None:
         return None, 0
-    return restore_checkpoint(path, target)
+    try:
+        return restore_checkpoint(path, target)
+    except Exception:
+        if not params_only_fallback or not isinstance(target, (tuple, list)):
+            raise
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        raw = ckptr.restore(os.path.join(os.path.abspath(path), "state"))
+        with open(os.path.join(path, "metadata.json")) as f:
+            step = json.load(f)["global_step"]
+        return (raw[0],) + tuple(target[1:]), step
 
 
 # ---------------------------------------------------------------------------
