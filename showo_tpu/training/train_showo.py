@@ -172,8 +172,10 @@ class ShowoTrainer:
     def __post_init__(self):
         c = self.config
         tr = c.training
+        opt_params = c.get_path("optimizer.params", {}) or {}
         self.tc = TrainConfig(
-            learning_rate=tr.get("learning_rate", 1e-4),
+            learning_rate=tr.get("learning_rate",
+                                 opt_params.get("learning_rate", 1e-4)),
             max_grad_norm=tr.get("max_grad_norm", 1.0),
             t2i_coeff=tr.get("t2i_coeff", 1.0),
             lm_coeff=tr.get("lm_coeff", 0.1),

@@ -48,8 +48,12 @@ def with_grad_accum(optimizer: optax.GradientTransformation,
 
 
 def make_optimizer(tc: TrainConfig, lr_schedule=None) -> optax.GradientTransformation:
+    # max_grad_norm: null disables clipping (reference
+    # showo_pretraining_stage2.yaml max_grad_norm: null)
+    clip = ([optax.clip_by_global_norm(tc.max_grad_norm)]
+            if tc.max_grad_norm else [])
     return with_grad_accum(optax.chain(
-        optax.clip_by_global_norm(tc.max_grad_norm),
+        *clip,
         optax.adamw(
             learning_rate=lr_schedule if lr_schedule is not None else tc.learning_rate,
             b1=tc.adam_beta1, b2=tc.adam_beta2, eps=tc.adam_eps,
