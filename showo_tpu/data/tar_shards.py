@@ -118,6 +118,96 @@ def remove_prefix(caption: str) -> str:
     return caption
 
 
+# the reference loads ./training/questions.json (data.py:153) which is
+# absent from its repo; these mirror the LLaVA-style caption prompts the
+# code expects when add_caption_prompt is set
+CAPTION_PROMPTS = (
+    "Describe the image in detail.",
+    "Provide a detailed description of the image.",
+    "What is shown in the image?",
+    "Write a descriptive caption for this image.",
+    "Give a thorough account of what the image depicts.",
+)
+
+
+class ExternalCaptionJoin:
+    """The reference's external-caption table joins
+    (training/data.py:241-331): SA1B / laion / cc12m captions live in
+    side directories keyed by shard url + sample key; JourneyDB captions
+    come from one json map.  Generation mode samples 50/50 between the
+    first sentence (short) and the full caption (long) (data.py:264-268);
+    captioning mode optionally prepends a random caption prompt.
+
+    Use as ``Text2ImageTarDataset(..., caption_fn=ExternalCaptionJoin(...),
+    clean_caption=False)`` — prefix cleanup for the generation branch is
+    applied here (the reference does NOT clean captioning-mode captions).
+    """
+
+    def __init__(self, sa1b_caption_dir: Optional[str] = None,
+                 laion_caption_dir: Optional[str] = None,
+                 cc12m_caption_dir: Optional[str] = None,
+                 journeydb_caption_json: Optional[str] = None,
+                 is_captioning: bool = False,
+                 add_caption_prompt: bool = False,
+                 caption_prompts=CAPTION_PROMPTS, seed: int = 0):
+        import random
+
+        self.sa1b = sa1b_caption_dir
+        self.laion = laion_caption_dir
+        self.cc12m = cc12m_caption_dir
+        self.is_captioning = is_captioning
+        self.add_caption_prompt = add_caption_prompt
+        self.caption_prompts = list(caption_prompts)
+        self.rng = random.Random(seed)
+        self.journeydb = None
+        if journeydb_caption_json:
+            with open(journeydb_caption_json) as f:
+                self.journeydb = json.load(f)
+
+    @staticmethod
+    def _read(path: str) -> str:
+        import os
+
+        if not os.path.exists(path):
+            return ""
+        with open(path) as f:
+            lines = f.readlines()
+        return lines[0].replace("\n", "") if lines else ""
+
+    def _finish(self, captions: str) -> str:
+        if self.is_captioning:
+            if self.add_caption_prompt:
+                prompt = self.rng.sample(self.caption_prompts, 1)[0]
+                return prompt + " " + captions
+            return captions
+        # generation: 50/50 short (first sentence) vs long (data.py:264-268)
+        if self.rng.random() < 0.5:
+            captions = captions.split(".")[0]
+        return remove_prefix(captions)
+
+    def __call__(self, sample, url, key):
+        url = url or ""
+        key = key or ""
+        default = sample.get("txt", b"")
+        if isinstance(default, bytes):
+            default = default.decode("utf-8", "replace")
+
+        if self.sa1b and "SA1B" in key:
+            return self._finish(
+                self._read(f"{self.sa1b}/{key.split('/')[-1]}.txt"))
+        if self.laion and "laion" in url:
+            stem = url.split("/")[-1].split(".")[0]
+            return self._finish(
+                self._read(f"{self.laion}/{stem}/{key}.caption"))
+        if self.cc12m and "cc12m" in url:
+            stem = url.split("/")[-1].split(".")[0]
+            return self._finish(
+                self._read(f"{self.cc12m}/{stem}/{key.split('/')[-1]}.caption"))
+        if self.journeydb is not None and key in self.journeydb:
+            return self.rng.sample(self.journeydb[key], 1)[0]
+        return default
+
+
 class Text2ImageTarDataset:
     """Resampled tar shards -> {"image": [H,W,3] float32, "text": str}.
 

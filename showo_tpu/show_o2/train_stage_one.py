@@ -383,12 +383,19 @@ def main() -> None:
             logger.info("resumed from step %d", step)
 
     from showo_tpu.training.train_showo import load_validation_prompts
+    from showo_tpu.utils.logging import resolve_wandb_run_id
 
+    run_id, resume = resolve_wandb_run_id(config,
+                                          config.experiment.output_dir)
+    tracker = Tracker(project=config.experiment.project,
+                      name=config.experiment.name,
+                      enabled=bool(config.get("wandb_enabled", False)),
+                      run_id=run_id, resume=resume)
     trainer.fit(mixed, max_steps=int(tr.max_train_steps),
                 log_every=int(config.experiment.get("log_every", 50)),
                 save_every=config.experiment.get("save_every"),
                 output_dir=config.experiment.output_dir,
-                seed=int(tr.get("seed", 0)),
+                seed=int(tr.get("seed", 0)), tracker=tracker,
                 generate_every=config.experiment.get("generate_every"),
                 validation_prompts=load_validation_prompts(config) or (),
                 tokenizer=tokenizer, token_ids=token_ids)

@@ -203,9 +203,13 @@ class ShowoTrainer:
             schedule, min_masking_rate=tr.get("min_masking_rate", 0.0),
             noise_type=tr.get("noise_type", "mask"),
             predict_all_tokens=tr.get("predict_all_tokens", False))
+        from showo_tpu.utils.logging import resolve_wandb_run_id
+
+        run_id, resume = resolve_wandb_run_id(c, c.experiment.output_dir)
         self.tracker = Tracker(project=c.experiment.project,
                                name=c.experiment.name,
-                               enabled=bool(c.get("wandb_enabled", False)))
+                               enabled=bool(c.get("wandb_enabled", False)),
+                               run_id=run_id, resume=resume)
         self.global_step = 0
 
     def train_step(self, t2i_batch, lm_texts, mmu_batch, key):

@@ -207,9 +207,13 @@ class ClipShowoTrainer(ShowoTrainer):
             tr.batch_size_t2i, tr.batch_size_lm, tr.batch_size_mmu,
             schedule, system_prompt_len=self.system_prompt_len,
             min_masking_rate=tr.get("min_masking_rate", 0.0))
+        from showo_tpu.utils.logging import resolve_wandb_run_id
+
+        run_id, resume = resolve_wandb_run_id(c, c.experiment.output_dir)
         self.tracker = Tracker(project=c.experiment.project,
                                name=c.experiment.name,
-                               enabled=bool(c.get("wandb_enabled", False)))
+                               enabled=bool(c.get("wandb_enabled", False)),
+                               run_id=run_id, resume=resume)
         self.global_step = 0
 
     def mmu_clip_block(self, mmu_batch):

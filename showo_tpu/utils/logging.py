@@ -59,6 +59,35 @@ class Stopwatch:
         return dt
 
 
+def resolve_wandb_run_id(config, output_dir: str):
+    """The reference's wandb run-id resume logic (train.py:129-151,
+    inference_t2i.py:40-53): reuse config.wandb.run_id when set; otherwise
+    reattach to the id persisted by a previous invocation of the same
+    output_dir; otherwise generate a fresh id and persist it.  Returns
+    (run_id, resume_flag)."""
+    import os
+    import random
+    import string
+
+    wandb_cfg = config.get("wandb", {}) or {}
+    run_id = wandb_cfg.get("run_id")
+    resume = wandb_cfg.get("resume", "auto")
+    if run_id:
+        return run_id, resume
+    path = os.path.join(output_dir, "wandb_run_id.txt")
+    if os.path.exists(path):
+        with open(path) as f:
+            return f.read().strip(), resume
+    # wandb.util.generate_id format: 8 lowercase alphanumerics
+    rng = random.SystemRandom()
+    run_id = "".join(rng.choice(string.ascii_lowercase + string.digits)
+                     for _ in range(8))
+    os.makedirs(output_dir, exist_ok=True)
+    with open(path, "w") as f:
+        f.write(run_id)
+    return run_id, False
+
+
 class Tracker:
     """wandb facade: logs scalars/images when wandb is importable and
     enabled, else accumulates to memory (inspectable in tests)."""

@@ -135,3 +135,67 @@ def test_image_text_dataset(tmp_path):
     assert s["modality_positions"].shape == (1, 2)
     assert s["images"].shape == (16, 16, 3)
     assert s["image_masks"].sum() == 8
+
+
+def test_external_caption_join(tmp_path):
+    """Reference data.py:241-331 table joins + 50/50 short/long sampling."""
+    import json as _json
+
+    from showo_tpu.data.tar_shards import ExternalCaptionJoin
+
+    # SA1B: captions keyed by sample key basename
+    sa1b = tmp_path / "sa1b_caps"
+    sa1b.mkdir()
+    (sa1b / "sa_001.txt").write_text(
+        "The image features a red fox. It sits on grass.\n")
+    # laion: captions under <shard-stem>/<key>.caption
+    laion = tmp_path / "laion_caps" / "00005"
+    laion.mkdir(parents=True)
+    (laion / "k1.caption").write_text("A blue bird on a branch. Close up.\n")
+    # journeydb json map
+    jdb = tmp_path / "jdb.json"
+    jdb.write_text(_json.dumps({"jdb_key": ["prompt one", "prompt two"]}))
+
+    join = ExternalCaptionJoin(
+        sa1b_caption_dir=str(tmp_path / "sa1b_caps"),
+        laion_caption_dir=str(tmp_path / "laion_caps"),
+        journeydb_caption_json=str(jdb), seed=0)
+
+    # generation mode: 50/50 short/long, prefixes removed
+    outs = {join({"txt": b""}, "x/SA1B/s.tar", "SA1B/sa_001")
+            for _ in range(30)}
+    assert outs == {"a red fox",  # short: first sentence, prefix removed
+                    "a red fox. It sits on grass."}
+
+    outs_l = {join({}, "/data/laion5b/00005.tar", "k1") for _ in range(30)}
+    assert outs_l == {"A blue bird on a branch",
+                      "A blue bird on a branch. Close up."}
+
+    assert join({}, "any", "jdb_key") in ("prompt one", "prompt two")
+    # missing caption file -> empty caption, not a crash
+    assert join({"txt": b"fallback"}, "x/SA1B/s.tar", "SA1B/missing") in ("", "fallback")
+
+    # captioning mode: prompt prepended, NO prefix removal
+    cap = ExternalCaptionJoin(sa1b_caption_dir=str(tmp_path / "sa1b_caps"),
+                              is_captioning=True, add_caption_prompt=True,
+                              seed=1)
+    out = cap({}, "x/SA1B/s.tar", "SA1B/sa_001")
+    assert out.endswith("The image features a red fox. It sits on grass.")
+    assert len(out) > len("The image features a red fox. It sits on grass.")
+
+
+def test_wandb_run_id_resume(tmp_path):
+    """train.py:129-151: the run id persists across invocations of the same
+    output_dir so a resumed run reattaches."""
+    from showo_tpu.config import Config
+    from showo_tpu.utils.logging import resolve_wandb_run_id
+
+    cfg = Config({"wandb": Config(resume="auto")})
+    rid1, resume1 = resolve_wandb_run_id(cfg, str(tmp_path))
+    assert len(rid1) == 8 and resume1 is False
+    rid2, resume2 = resolve_wandb_run_id(cfg, str(tmp_path))
+    assert rid2 == rid1 and resume2 == "auto"
+    # explicit config id wins
+    cfg2 = Config({"wandb": Config(resume="must", run_id="abcd1234")})
+    rid3, resume3 = resolve_wandb_run_id(cfg2, str(tmp_path))
+    assert rid3 == "abcd1234" and resume3 == "must"

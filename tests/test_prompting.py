@@ -79,3 +79,17 @@ def test_cond_dropout():
     nonpad = row[row != uni.pad_id]
     assert list(nonpad[:3]) == [uni.sptids["<|t2i|>"], tok.bos_token_id,
                                 tok.eos_token_id]
+
+
+def test_t2i_plus_lm(golden, uni):
+    """t2i_plus_lm (reference prompting_utils.py:415-422): first B texts go
+    through the t2i layout with the image ids, the rest through lm."""
+    texts = TEXTS + ["some plain language modelling text", "another doc"]
+    (a_ids, a_masks, a_labs), (b_ids, b_masks, b_labs) = uni(
+        (texts, golden["image_ids"], golden["labels"], 16), "t2i_plus_lm",
+        t2i_batch_size=3)
+    np.testing.assert_array_equal(a_ids, golden["t2i_ids"])
+    np.testing.assert_array_equal(a_labs, golden["t2i_labels"])
+    ref_ids, _, ref_labs = uni((texts[3:], 16), "lm")
+    np.testing.assert_array_equal(b_ids, ref_ids)
+    np.testing.assert_array_equal(b_labs, ref_labs)
