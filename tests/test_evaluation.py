@@ -5,6 +5,7 @@ import os
 
 import jax
 import numpy as np
+import pytest
 
 from showo_tpu.evaluation.geneval import run_dpg_sweep, run_geneval_sweep
 
@@ -101,3 +102,65 @@ def test_mmu_eval_scoring_and_sweep(tmp_path):
                            device_id=0, num_devices=1)
     assert metrics == {"num": 2, "exact_match": 1.0, "contains": 1.0}
     assert (tmp_path / "o" / "predictions_0.jsonl").exists()
+
+
+def test_dpg_scoring(tmp_path):
+    """DPG scoring harness (compute_dpg_bench.py equivalent): csv parsing,
+    dependency zeroing, category summaries, with a deterministic fake
+    scorer."""
+    import csv as _csv
+
+    from PIL import Image
+
+    from showo_tpu.evaluation.dpg_bench import (
+        compute_dpg_one_sample,
+        prepare_dpg_data,
+        run_dpg_scoring,
+    )
+
+    rows = [
+        # the reference skips the FIRST data row (iterrows i==0 quirk)
+        dict(item_id="skipme", proposition_id="1", dependency="0",
+             tuple="entity - junk", question_natural_language="junk?"),
+        dict(item_id="img_a", proposition_id="1", dependency="0",
+             tuple="entity - whole (dog)",
+             question_natural_language="is there a dog?"),
+        dict(item_id="img_a", proposition_id="2", dependency="1",
+             tuple="attribute - color (dog, red)",
+             question_natural_language="is the dog red?"),
+        dict(item_id="img_a", proposition_id="3", dependency="0",
+             tuple="entity - whole (tree)",
+             question_natural_language="is there a tree?"),
+    ]
+    csv_path = tmp_path / "dpg.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+
+    qd = prepare_dpg_data(str(csv_path))
+    assert set(qd) == {"img_a"}
+    assert qd["img_a"]["qid2dependency"] == {1: [0], 2: [1], 3: [0]}
+
+    img_root = tmp_path / "imgs"
+    img_root.mkdir()
+    Image.new("RGB", (32, 32), (200, 10, 10)).save(img_root / "img_a.png")
+
+    # scorer: dog absent -> the dependent color question (answered yes)
+    # must be ZEROED by the dependency chain; tree present
+    answers = {"is there a dog?": "no", "is the dog red?": "yes",
+               "is there a tree?": "yes"}
+    scorer = lambda image, q: answers[q]
+    score, qid2tuple, qid2scores = compute_dpg_one_sample(
+        qd, str(img_root / "img_a.png"), scorer, resolution=32, pic_num=1)
+    assert score == pytest.approx(1 / 3)  # only the tree survives
+    assert qid2scores == {1: 0.0, 2: 1.0, 3: 1.0}  # pre-dependency scores
+
+    out = run_dpg_scoring(str(img_root), str(csv_path), scorer,
+                          resolution=32, process_index=0, process_count=1)
+    assert out["n"] == 1
+    assert out["score"] == pytest.approx(100 / 3)
+    assert out["l1"]["entity"] == pytest.approx(50.0)  # dog 0, tree 1
+    assert out["l2"]["attribute - color"] == pytest.approx(100.0)
+    assert (img_root / "dpg_results.txt").exists()
+    assert (img_root / "dpg_results_detail.txt").exists()
