@@ -91,3 +91,25 @@ def test_padding_to_block_multiple():
     got = omni_attention(q, k, v, seg, block_q=16, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5,
                                rtol=1e-4)
+
+
+def test_s5120_mixed_modal_parity():
+    """S=5120 (max_mixed_modal_seq_length, showo2_1.5b_stage_1_a.yaml:69):
+    the kernel's full-K/V-in-VMEM layout must hold at the longest shipped
+    sequence.  At S=5120, D=64: K+V bf16 ~1.3 MB + a 128x5120 fp32 score
+    tile ~2.6 MB per block — comfortably inside the 16 MB VMEM budget;
+    this pins the cliff before video work pushes past it."""
+    S, D = 5120, 64
+    rng = np.random.default_rng(7)
+    # v2 mixed-modal layout: 4 image spans of 730 tokens among text
+    mp = jnp.asarray([[[100, 730], [1200, 730], [2400, 730], [3900, 730]]])
+    seg = seg_from_modality_positions(mp, S)
+    q = jnp.asarray(rng.normal(size=(1, 1, S, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 1, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 1, S, D)), jnp.float32)
+
+    bias = omni_attn_mask(mp, S)
+    want = dense_attention(q, k, v, bias)
+    got = omni_attention(q, k, v, seg, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5,
+                               rtol=1e-4)
