@@ -154,15 +154,37 @@ def main() -> None:
 
     dp = config.dataset.params
     loaders = []
-    for key_name, bs, dtype in ((dp.get("t2i_jsonl"), tr.batch_size_t2i, "t2i"),
-                                (dp.get("mmu_jsonl"), tr.batch_size_mmu, "mmu")):
-        if key_name:
-            loaders.append(create_imagetext_dataloader(
-                key_name, tokenizer, token_ids, batch_size=bs,
-                resolution=config.dataset.preprocessing.resolution,
-                num_image_tokens=n_img,
-                max_seq_len=config.dataset.preprocessing.max_seq_length,
-                default_data_type=dtype))
+    if dp.get("t2i_jsonl"):
+        loaders.append(create_imagetext_dataloader(
+            dp.t2i_jsonl, tokenizer, token_ids,
+            batch_size=tr.batch_size_t2i,
+            resolution=config.dataset.preprocessing.resolution,
+            num_image_tokens=n_img,
+            max_seq_len=config.dataset.preprocessing.max_seq_length,
+            default_data_type="t2i"))
+    # und flow: LLaVA-OneVision-style conversations (MMUDataset, reference
+    # train_stage_two.py) when annotation_path is set; jsonl captions as a
+    # fallback
+    if dp.get("annotation_path"):
+        from showo_tpu.data.loader import CheckpointableDataLoader
+        from showo_tpu.data.mmu_dataset import MMUDataset
+
+        mmu_ds = MMUDataset(
+            dp.annotation_path, dp.get("mmu_image_root", ""), tokenizer,
+            token_ids, resolution=config.dataset.preprocessing.resolution,
+            num_image_tokens=n_img,
+            max_seq_len=config.dataset.preprocessing.max_seq_length,
+            stage=config.get("stage", "tuning"))
+        loaders.append(CheckpointableDataLoader(
+            lambda: iter(mmu_ds), batch_size=tr.batch_size_mmu))
+    elif dp.get("mmu_jsonl"):
+        loaders.append(create_imagetext_dataloader(
+            dp.mmu_jsonl, tokenizer, token_ids,
+            batch_size=tr.batch_size_mmu,
+            resolution=config.dataset.preprocessing.resolution,
+            num_image_tokens=n_img,
+            max_seq_len=config.dataset.preprocessing.max_seq_length,
+            default_data_type="mmu"))
     mixed = MixedDataLoader(loaders, mode="concat_max_size_cycle")
 
     snapshot_config(config, config.experiment.output_dir)

@@ -26,7 +26,10 @@ class EMAState(NamedTuple):
 
 
 def ema_init(params) -> EMAState:
-    return EMAState(jax.tree.map(jnp.asarray, params), jnp.zeros((), jnp.int32))
+    # an independent COPY: jnp.asarray would alias the live param buffers,
+    # which breaks donation of the EMA state
+    return EMAState(jax.tree.map(lambda x: jnp.copy(jnp.asarray(x)), params),
+                    jnp.zeros((), jnp.int32))
 
 
 def ema_decay(cfg: EMAConfig, optimization_step):

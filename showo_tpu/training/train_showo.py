@@ -212,6 +212,24 @@ class ShowoTrainer:
                                run_id=run_id, resume=resume)
         self.global_step = 0
 
+        # optional parameter EMA (training.ema config block) — the
+        # reference ships EMAModel unwired (training_utils.py:61); here it
+        # is a config flag (beyond-parity)
+        self.ema_state = None
+        ema_cfg = tr.get("ema") or {}
+        if ema_cfg.get("enabled", False):
+            from showo_tpu.training.ema import (EMAConfig, ema_init,
+                                                ema_update)
+
+            ec = EMAConfig(
+                decay=float(ema_cfg.get("decay", 0.9999)),
+                min_decay=float(ema_cfg.get("min_decay", 0.0)),
+                update_after_step=int(ema_cfg.get("update_after_step", 0)),
+                use_ema_warmup=bool(ema_cfg.get("use_ema_warmup", False)))
+            self.ema_state = ema_init(self.state.params)
+            self._ema_update = jax.jit(
+                lambda s, p: ema_update(ec, s, p), donate_argnums=(0,))
+
     def train_step(self, t2i_batch, lm_texts, mmu_batch, key):
         """One optimizer step from raw host batches."""
         uni = self.uni_prompting
@@ -227,6 +245,9 @@ class ShowoTrainer:
             jnp.asarray(lm_ids), jnp.asarray(lm_labels),
             jnp.asarray(mmu_batch["image"]), jnp.asarray(mmu_text),
             jnp.asarray(mmu_text_labels), key)
+        if self.ema_state is not None:
+            self.ema_state = self._ema_update(self.ema_state,
+                                              self.state.params)
         self.global_step += 1
         return metrics
 
@@ -354,6 +375,14 @@ class ShowoTrainer:
             if save_every and self.global_step % save_every == 0:
                 save_checkpoint(self.state, output_dir, self.global_step,
                                 checkpoints_total_limit)
+                if self.ema_state is not None:
+                    import orbax.checkpoint as ocp
+
+                    ocp.PyTreeCheckpointer().save(
+                        os.path.join(os.path.abspath(output_dir),
+                                     f"checkpoint-{self.global_step}",
+                                     "ema_state"),
+                        jax.device_get(self.ema_state.params))
                 from showo_tpu.data.loader import save_loader_state
 
                 for name, ld in (("t2i", t2i_loader), ("lm", lm_loader),

@@ -67,3 +67,35 @@ def test_trainer_runs_and_learns():
     assert trainer.global_step == 3
     # same data 3 steps -> loss decreases
     assert losses[-1] < losses[0]
+
+
+def test_trainer_ema_flag():
+    """training.ema.enabled=true maintains an EMA copy that tracks the
+    trained params (beyond-parity: the reference ships EMAModel unwired)."""
+    cfg, config = _cfgs()
+    config["training"]["ema"] = {"enabled": True, "decay": 0.5}
+    uni = UniversalPrompting(FakeTokenizer(), max_text_len=8,
+                             cond_dropout_prob=0.1)
+    params = init_showo_params(cfg, jax.random.PRNGKey(0))
+    vq = MagvitV2(VQ_TINY)
+    vq_params = vq.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, 8, 8, 3)))["params"]
+    trainer = ShowoTrainer(config=config, cfg=cfg, vq_cfg=VQ_TINY,
+                           params=params, vq_params=vq_params,
+                           uni_prompting=uni)
+    assert trainer.ema_state is not None
+    init_embed = np.asarray(trainer.ema_state.params["showo"]["embed"]).copy()
+
+    rng = np.random.default_rng(0)
+    t2i_batch = {"image": rng.normal(size=(2, 8, 8, 3)).astype(np.float32),
+                 "text": ["a cat", "a dog"]}
+    mmu_batch = {"image": rng.normal(size=(2, 8, 8, 3)).astype(np.float32),
+                 "text": ["describe it", "what is it"]}
+    for i in range(3):
+        trainer.train_step(t2i_batch, ["lm text", "more text"], mmu_batch,
+                           jax.random.PRNGKey(i))
+    ema = np.asarray(trainer.ema_state.params["showo"]["embed"])
+    live = np.asarray(trainer.state.params["showo"]["embed"])
+    assert not np.array_equal(ema, init_embed)   # EMA moved
+    assert not np.array_equal(ema, live)         # but lags the live params
+    assert int(trainer.ema_state.step) == 3
