@@ -35,6 +35,10 @@ def bench_mmu(args) -> None:
             cfg, llm=dataclasses.replace(cfg.llm, scan_unroll=unroll))
     params = jax.jit(lambda k: init_showo_params(cfg, k, jnp.bfloat16))(
         jax.random.PRNGKey(0))
+    if args.get("fused_mlp", "1") != "0":
+        from showo_tpu.models.phi import fuse_parallel_mlp
+
+        params = dict(params, showo=fuse_parallel_mlp(params["showo"]))
     B = int(args.get("batch", 1))
     max_new = int(args.get("max_new_tokens", 128))
     SOI, EOI, MMU = 50296, 50297, 50300
@@ -246,7 +250,11 @@ def main() -> None:
     params = jax.jit(
         lambda k: init_showo_params(cfg, k, dtype=jnp.bfloat16)
     )(jax.random.PRNGKey(0))
-    if args.get("fused_qkv", "1") != "0":
+    if args.get("fused_mlp", "1") != "0":
+        from showo_tpu.models.phi import fuse_parallel_mlp
+
+        params = dict(params, showo=fuse_parallel_mlp(params["showo"]))
+    elif args.get("fused_qkv", "1") != "0":
         params = dict(params, showo=fuse_qkv(params["showo"]))
     jax.block_until_ready(params)
 

@@ -137,14 +137,20 @@ def _attention(q, k, v, bias, attn_meta=None, q_positions=None,
                              prefix, q_positions=q_positions)
         return jnp.swapaxes(out, 1, 2)
     head_dim = q.shape[-1]
+    # operands stay in their storage dtype; the MXU multiplies bf16 inputs
+    # exactly into the fp32 accumulator, so preferred_element_type=fp32 is
+    # bit-identical to casting bf16 q/k to fp32 first (the reference's
+    # fp32-upcast, phi.py:359-362) while avoiding the fp32 operand
+    # materialization + fp32-rate MXU pass (2.2x faster at decode shapes,
+    # tools/probe_attn_decode.py)
     scores = jnp.einsum(
-        "bqhd,bkhd->bhqk",
-        q.astype(softmax_dtype), k.astype(softmax_dtype),
+        "bqhd,bkhd->bhqk", q, k,
         preferred_element_type=softmax_dtype,
     ) / math.sqrt(head_dim)
     if bias is not None:
         scores = scores + bias.astype(softmax_dtype)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    probs = jax.nn.softmax(scores.astype(softmax_dtype),
+                           axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
@@ -161,6 +167,40 @@ def fuse_qkv(params: Dict[str, Any]) -> Dict[str, Any]:
                                  L["v"]["bias"]], axis=-1),
     }
     for name in ("q", "k", "v"):
+        del L[name]
+    return dict(params, layers=L)
+
+
+def fuse_parallel_mlp(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Exploit the parallel attn+MLP residual: qkv and fc1 share the same
+    layernormed input, and the attn-dense and fc2 outputs are summed into
+    the residual — so each layer's four projections collapse into TWO wide
+    matmuls:
+
+        win  = [Wqkv | Wfc1]            x_ln @ win -> [qkv | mlp_pre]
+        wout = [Wdense; Wfc2] (stacked)  [attn, gelu(mlp_pre)] @ wout
+
+    Mathematically identical (fp32-accumulation order differs at eps
+    level); bigger matmuls keep the MXU busy at decode token counts.
+    Inference-path transform, applied after :func:`fuse_qkv`."""
+    L = dict(params["layers"])
+    if "win" in L:
+        return params
+    if "qkv" not in L:
+        params = fuse_qkv(params)
+        L = dict(params["layers"])
+    L["win"] = {
+        "kernel": jnp.concatenate([L["qkv"]["kernel"], L["fc1"]["kernel"]],
+                                  axis=-1),
+        "bias": jnp.concatenate([L["qkv"]["bias"], L["fc1"]["bias"]],
+                                axis=-1),
+    }
+    L["wout"] = {
+        "kernel": jnp.concatenate([L["dense"]["kernel"], L["fc2"]["kernel"]],
+                                  axis=-2),
+        "bias": L["dense"]["bias"] + L["fc2"]["bias"],
+    }
+    for name in ("qkv", "fc1", "dense", "fc2"):
         del L[name]
     return dict(params, layers=L)
 
@@ -193,7 +233,8 @@ def init_phi_params(cfg: PhiConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
 
 def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
            bias: Optional[jnp.ndarray], cos, sin,
-           cache_kv=None, cache_index=None, attn_meta=None):
+           cache_kv=None, cache_index=None, attn_meta=None,
+           static_prefix: bool = False):
     """One decoder layer. lp holds this layer's (unstacked) params.
 
     Returns (h_out, (k_full, v_full)) where k_full/v_full are the KV
@@ -203,6 +244,48 @@ def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
     H, Dh = cfg.num_heads, cfg.head_dim
 
     x = layer_norm(h, lp["ln"]["scale"], lp["ln"]["bias"], cfg.layer_norm_eps)
+
+    if "win" in lp:
+        # fully fused parallel-residual layer (see fuse_parallel_mlp)
+        y = x @ lp["win"]["kernel"] + lp["win"]["bias"]
+        qkv, mlp_pre = y[..., :3 * D], y[..., 3 * D:]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, S, H, Dh)
+        k = k.reshape(B, S, H, Dh)
+        v = v.reshape(B, S, H, Dh)
+        q = layer_norm(q, lp["q_ln"]["scale"], lp["q_ln"]["bias"],
+                       cfg.layer_norm_eps)
+        k = layer_norm(k, lp["k_ln"]["scale"], lp["k_ln"]["bias"],
+                       cfg.layer_norm_eps)
+        q, k = apply_rope(q, k, cos, sin, cfg.rotary_dim)
+        if cache_kv is not None and static_prefix:
+            ck, cv = cache_kv
+            k_att = jnp.concatenate([ck, k.astype(ck.dtype)], axis=1)
+            v_att = jnp.concatenate([cv, v.astype(cv.dtype)], axis=1)
+            new_kv = (ck, cv)
+            q_positions = (cache_index + jnp.arange(S)
+                           if attn_meta is not None else None)
+        elif cache_kv is not None:
+            ck, cv = cache_kv
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                              (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                              (0, cache_index, 0, 0))
+            k_att, v_att = ck, cv
+            new_kv = (ck, cv)
+            q_positions = (cache_index + jnp.arange(S)
+                           if attn_meta is not None else None)
+        else:
+            k_att, v_att = k, v
+            new_kv = (k, v)
+            q_positions = None
+        attn = _attention(
+            q, k_att, v_att, bias, attn_meta, q_positions,
+            softmax_dtype=jnp.float32 if cfg.attn_fp32 else jnp.bfloat16,
+        ).reshape(B, S, D)
+        z = jnp.concatenate(
+            [attn, jax.nn.gelu(mlp_pre, approximate=True)], axis=-1)
+        return h + z @ lp["wout"]["kernel"] + lp["wout"]["bias"], new_kv
 
     if "qkv" in lp:
         # fused projection: one wide matmul keeps the MXU busy at small
@@ -222,7 +305,19 @@ def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
 
     q, k = apply_rope(q, k, cos, sin, cfg.rotary_dim)
 
-    if cache_kv is not None:
+    if cache_kv is not None and static_prefix:
+        # decode against a CONSTANT prefix: concat fresh K/V after the
+        # prefix rows instead of dynamic_update_slice into the full cache
+        # buffer — the cache is loop-invariant inside the sampling scan,
+        # so in-place aliasing is impossible and each update would copy
+        # the whole buffer per layer per step (~50 MB at 256^2 decode)
+        ck, cv = cache_kv  # [B, P, H, Dh] (prefix rows only)
+        k_att = jnp.concatenate([ck, k.astype(ck.dtype)], axis=1)
+        v_att = jnp.concatenate([cv, v.astype(cv.dtype)], axis=1)
+        new_kv = (ck, cv)
+        q_positions = (cache_index + jnp.arange(S)
+                       if attn_meta is not None else None)
+    elif cache_kv is not None:
         ck, cv = cache_kv  # [B, S_max, H, Dh]
         ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
@@ -258,6 +353,7 @@ def phi_forward(
     remat: bool = False,
     attn_meta=None,
     lm_head_slice=None,
+    static_prefix_len: Optional[int] = None,
 ):
     """Full forward. Returns (logits, new_cache_or_None).
 
@@ -281,9 +377,30 @@ def phi_forward(
     cos, sin = _rope_tables(position_ids, cfg.rotary_dim, cfg.rope_theta)
 
     h = input_embeds
-    layer_fn = (jax.checkpoint(_layer, static_argnums=(0,)) if remat else _layer)
+    import functools as _ft
 
-    if cache is not None:
+    base_layer = (_ft.partial(_layer, static_prefix=True)
+                  if static_prefix_len is not None else _layer)
+    layer_fn = (jax.checkpoint(base_layer, static_argnums=(0,))
+                if remat else base_layer)
+
+    if cache is not None and static_prefix_len is not None:
+        # decode against a constant prefix (no cache writes; see _layer).
+        # The attention K layout is [prefix | fresh] = positions 0..P+S,
+        # so the caller's bias must cover exactly P+S key columns.
+        P = static_prefix_len
+        ck, cv = cache.k[:, :, :P], cache.v[:, :, :P]
+
+        def body(h, xs):
+            lp, layer_kv = xs
+            h, _ = layer_fn(cfg, lp, h, attention_bias[..., :P + S],
+                            cos, sin, layer_kv, P, attn_meta)
+            return h, None
+
+        h, _ = jax.lax.scan(body, h, (params["layers"], (ck, cv)),
+                            unroll=cfg.scan_unroll)
+        new_cache = cache
+    elif cache is not None:
         def body(h, xs):
             lp, layer_kv = xs
             h, new_kv = layer_fn(cfg, lp, h, attention_bias, cos, sin,

@@ -262,11 +262,17 @@ def showo_t2i_generate_cached(
                   cfg.codebook_offset + cfg.codebook_size)
 
     def forward_fn(ids):
+        # static_prefix_len: the prefix K/V are loop-invariant inside the
+        # sampling scan, so the decode concatenates fresh image-span K/V
+        # after a static prefix slice instead of dynamic_update_slice into
+        # the full cache (which would copy the whole buffer per layer per
+        # step — ~1.2 GB/step at 256^2)
         logits, _ = phi_forward(cfg.llm, params["showo"],
                                 input_ids=ids[:, P:],
                                 attention_bias=step_bias, cache=cache,
                                 lm_head_slice=head_slice,
-                                attn_meta=attn_meta)
+                                attn_meta=attn_meta,
+                                static_prefix_len=P)
         return logits
 
     return maskgit_generate(

@@ -37,9 +37,21 @@ class MMUPipeline:
     max_new_tokens: int = 100
     top_k: Optional[int] = 1
     temperature: float = 1.0
+    param_fusion: str = "mlp"  # "mlp" | "qkv" | "none" (exact parity)
 
     def __post_init__(self):
         self._vq = MagvitV2(self.vq_cfg)
+
+        # see T2IPipeline.param_fusion — same inference-only weight
+        # re-layout; the AR KV-cache decode hits the identical fused layer
+        if self.param_fusion == "mlp":
+            from showo_tpu.models.phi import fuse_parallel_mlp
+            self.params = dict(self.params,
+                               showo=fuse_parallel_mlp(self.params["showo"]))
+        elif self.param_fusion == "qkv":
+            from showo_tpu.models.phi import fuse_qkv
+            self.params = dict(self.params,
+                               showo=fuse_qkv(self.params["showo"]))
 
         @jax.jit
         def _encode(vq_params, pixels):

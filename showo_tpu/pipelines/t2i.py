@@ -37,10 +37,25 @@ class T2IPipeline:
     max_seq_length: int = 128
     resolution: int = 256
     attn_impl: str = "auto"   # auto: packed Pallas kernel at long seqs
+    param_fusion: str = "mlp"  # "mlp" | "qkv" | "none" (exact parity)
 
     def __post_init__(self):
         self._vq = MagvitV2(self.vq_cfg)
         self._schedule = get_mask_schedule(self.mask_schedule)
+
+        # inference-only weight re-layout: "qkv" fuses the three attention
+        # projections (numerically identical); "mlp" additionally exploits
+        # the parallel residual to collapse each layer to TWO wide matmuls
+        # (fp32-accumulation order differs at eps level) — +23% img/min at
+        # 256^2 decode (tools/probe_decode_breakdown.py)
+        if self.param_fusion == "mlp":
+            from showo_tpu.models.phi import fuse_parallel_mlp
+            self.params = dict(self.params,
+                               showo=fuse_parallel_mlp(self.params["showo"]))
+        elif self.param_fusion == "qkv":
+            from showo_tpu.models.phi import fuse_qkv
+            self.params = dict(self.params,
+                               showo=fuse_qkv(self.params["showo"]))
 
         cfg = self.cfg
         from showo_tpu.models.showo import showo_t2i_generate_cached

@@ -212,9 +212,12 @@ class ShowoTrainer:
                                run_id=run_id, resume=resume)
         self.global_step = 0
 
-        # optional parameter EMA (training.ema config block) — the
-        # reference ships EMAModel unwired (training_utils.py:61); here it
-        # is a config flag (beyond-parity)
+        self._init_ema(tr)
+
+    def _init_ema(self, tr) -> None:
+        """Optional parameter EMA (training.ema config block) — the
+        reference ships EMAModel unwired (training_utils.py:61); here it
+        is a config flag (beyond-parity)."""
         self.ema_state = None
         ema_cfg = tr.get("ema") or {}
         if ema_cfg.get("enabled", False):

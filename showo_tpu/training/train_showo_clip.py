@@ -215,6 +215,7 @@ class ClipShowoTrainer(ShowoTrainer):
                                enabled=bool(c.get("wandb_enabled", False)),
                                run_id=run_id, resume=resume)
         self.global_step = 0
+        self._init_ema(tr)
 
     def mmu_clip_block(self, mmu_batch):
         """LLaVA samples -> fixed-shape [mmu][system][soi][eoi]conversation

@@ -90,3 +90,43 @@ def test_init_and_forward_shapes():
     ids = jnp.zeros((1, 8), jnp.int32)
     logits, _ = phi_forward(cfg, params, input_ids=ids)
     assert logits.shape == (1, 8, 64)
+
+
+def test_fuse_parallel_mlp_equivalence():
+    """fuse_parallel_mlp (2 wide matmuls per layer) matches the unfused
+    forward to fp32 eps, full and cached."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from showo_tpu.models.phi import (
+        KVCache,
+        PhiConfig,
+        fuse_parallel_mlp,
+        init_phi_params,
+        phi_forward,
+    )
+
+    cfg = PhiConfig(vocab_size=120, hidden_size=64, intermediate_size=128,
+                    num_layers=2, num_heads=4)
+    params = init_phi_params(cfg, jax.random.PRNGKey(0))
+    fused = fuse_parallel_mlp(params)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 120)
+    bias = jnp.zeros((2, 1, 16, 16))
+    ref, _ = phi_forward(cfg, params, input_ids=ids, attention_bias=bias)
+    got, _ = phi_forward(cfg, fused, input_ids=ids, attention_bias=bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    # cached decode parity: prefill 8, decode 8 more
+    cache = KVCache.zeros(cfg, 2, 16)
+    pb = jnp.zeros((2, 1, 8, 16)).at[:, :, :, 8:].set(-1e9)
+    _, c_ref = phi_forward(cfg, params, input_ids=ids[:, :8],
+                           attention_bias=pb, cache=cache)
+    _, c_f = phi_forward(cfg, fused, input_ids=ids[:, :8],
+                         attention_bias=pb, cache=cache)
+    step_bias = jnp.zeros((2, 1, 8, 16))
+    lr, _ = phi_forward(cfg, params, input_ids=ids[:, 8:],
+                        attention_bias=step_bias, cache=c_ref)
+    lf, _ = phi_forward(cfg, fused, input_ids=ids[:, 8:],
+                        attention_bias=step_bias, cache=c_f)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lr), atol=2e-5)
