@@ -47,8 +47,9 @@ _DEFAULT_RULES: Sequence[tuple] = (
     (r"embed$", P("fsdp", None)),
     (r"lm_head/kernel$", P(None, ("fsdp", "tp"))),
     (r"lm_head/bias$", P()),
-    # unstacked 2D projections (fusion_proj, diff_proj, time_embed, ...)
-    (r"(fc1|fc2|linear|kernel)/kernel$", P(None, ("fsdp", "tp"))),
+    # unstacked 2D projections (fusion_proj, diff_proj, time_embed,
+    # final-layer adaln, ...)
+    (r"(fc1|fc2|linear|adaln|proj|kernel)/kernel$", P(None, ("fsdp", "tp"))),
     # conv codecs: [kh, kw, I, O] or [kT, kH, kW, I, O]
     (r"kernel$", P(None, None, None, "fsdp")),
     (r".*", P()),
@@ -87,13 +88,29 @@ def _fit_spec(spec: P, shape, mesh: Mesh) -> P:
     if len(spec) > len(shape):
         return P()
     out = []
+    dropped = []
     for dim, axes in zip(shape, tuple(spec) + (None,) * (len(shape) - len(spec))):
         if axes is None:
             out.append(None)
             continue
         axes_t = axes if isinstance(axes, tuple) else (axes,)
         size = int(np.prod([mesh.shape[a] for a in axes_t]))
-        out.append(axes if dim % size == 0 else None)
+        if dim % size == 0:
+            out.append(axes)
+        else:
+            # axis doesn't divide evenly -> try to relocate the sharding
+            # instead of silently replicating (e.g. Qwen's vocab 151940 is
+            # not divisible by 8, but the hidden axis is)
+            out.append(None)
+            dropped.append(axes)
+    for axes in dropped:
+        axes_t = axes if isinstance(axes, tuple) else (axes,)
+        size = int(np.prod([mesh.shape[a] for a in axes_t]))
+        # biggest still-unsharded divisible dim, if any
+        cands = [i for i, (dim, cur) in enumerate(zip(shape, out))
+                 if cur is None and dim % size == 0 and dim >= size]
+        if cands:
+            out[max(cands, key=lambda i: shape[i])] = axes
     return P(*out)
 
 
