@@ -121,6 +121,16 @@ def _attention(q, k, v, bias, attn_meta=None, q_positions=None,
         impl = attn_meta[0] if isinstance(attn_meta[0], str) else "pallas"
         meta = attn_meta[1:] if isinstance(attn_meta[0], str) else attn_meta
         seg, pad, last_pad, prefix = meta
+        if impl == "pallas_streaming":
+            # online-softmax K-blocked kernel: no VMEM ceiling on S
+            from showo_tpu.ops.streaming_attention import \
+                omni_attention_streaming
+
+            out = omni_attention_streaming(
+                jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                jnp.swapaxes(v, 1, 2), seg, pad, last_pad, prefix,
+                q_positions=q_positions)
+            return jnp.swapaxes(out, 1, 2)
         if impl == "pallas_packed":
             from showo_tpu.ops.flash_attention import omni_attention_packed
 

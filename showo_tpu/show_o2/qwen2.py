@@ -130,18 +130,30 @@ def _layer(cfg: Qwen2Config, lp, h, bias, cos, sin, cache_kv=None,
         new_kv = (k, v)
 
     if attn_meta is not None:
-        # packed Pallas omni kernel with GQA (no S x S bias in HBM)
-        from showo_tpu.ops.flash_attention import omni_attention_packed
-
+        # Pallas omni kernels with GQA (no S x S bias in HBM)
+        impl = attn_meta[0] if isinstance(attn_meta[0], str) else "pallas_packed"
         impl_meta = attn_meta[1:] if isinstance(attn_meta[0], str) else attn_meta
         seg, pad, last_pad, prefix = impl_meta
         q_positions = (cache_index + jnp.arange(S)
                        if cache_kv is not None else None)
         Skv = k_att.shape[1]
-        attn = omni_attention_packed(
-            q.reshape(B, S, H * Dh), k_att.reshape(B, Skv, Hkv * Dh),
-            v_att.reshape(B, Skv, Hkv * Dh), seg, pad, last_pad, prefix,
-            num_heads=H, num_kv_heads=Hkv, q_positions=q_positions)
+        if impl == "pallas_streaming":
+            # online-softmax K-blocked kernel: no VMEM ceiling on S
+            from showo_tpu.ops.streaming_attention import \
+                omni_attention_streaming
+
+            attn = omni_attention_streaming(
+                jnp.swapaxes(q, 1, 2), jnp.swapaxes(k_att, 1, 2),
+                jnp.swapaxes(v_att, 1, 2), seg, pad, last_pad, prefix,
+                q_positions=q_positions)
+            attn = jnp.swapaxes(attn, 1, 2).reshape(B, S, H * Dh)
+        else:
+            from showo_tpu.ops.flash_attention import omni_attention_packed
+
+            attn = omni_attention_packed(
+                q.reshape(B, S, H * Dh), k_att.reshape(B, Skv, Hkv * Dh),
+                v_att.reshape(B, Skv, Hkv * Dh), seg, pad, last_pad, prefix,
+                num_heads=H, num_kv_heads=Hkv, q_positions=q_positions)
         attn = attn @ lp["o"]["kernel"]
         h = h + attn
         x2 = rms_norm(h, lp["post_ln"]["scale"], cfg.rms_norm_eps)
