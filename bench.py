@@ -27,7 +27,9 @@ def bench_mmu(args) -> None:
     from showo_tpu.ops.masks import omni_mask_mmu
 
     cfg = ShowoConfig()
-    unroll = int(args.get("unroll", 1))
+    # full unroll: 210 tok/s vs 202 at unroll=1 (partial unroll is
+    # pathological: 77 at unroll=8 — don't)
+    unroll = int(args.get("unroll", 24))
     if unroll > 1:
         import dataclasses
 
