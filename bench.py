@@ -8,6 +8,7 @@ Run on the real chip:  python bench.py  [batch=2] [timesteps=16]
                        [vq_tokens=256|1024]  (1024 = the 512px config)
 Secondary metrics:     python bench.py metric=mmu   (decode tok/s)
                        python bench.py metric=vq    (VQ encode Mpix/s)
+                       python bench.py metric=train (fused-step samples/s)
 """
 
 import json
@@ -207,8 +208,88 @@ def bench_t2v(args) -> None:
         "unit": "frames/min/chip", "vs_baseline": None}))
 
 
+def bench_train(args) -> None:
+    """v1 fused train-step throughput (samples/sec/chip) at the reference
+    per-GPU stage-1 recipe batch 15 t2i + 4 lm + 10 mmu
+    (configs/showo_pretraining_stage1.yaml:83-103; the reference logs the
+    same samples/sec metric, train.py:637-650, but publishes no values).
+    Frozen full-size MAGVIT VQ encode + corruption + assembly + 3-loss
+    fwd/bwd + AdamW, one jitted program; bf16 params/moments."""
+    import numpy as np
+
+    from showo_tpu.models.magvit import MagvitV2, VQConfig
+    from showo_tpu.models.showo import ShowoConfig, init_showo_params
+    from showo_tpu.sampling.schedules import cosine_schedule
+    from showo_tpu.training.train_showo import make_fused_train_step
+    from showo_tpu.training.train_step import (TrainConfig, TrainState,
+                                               make_optimizer)
+
+    b_t2i = int(args.get("batch_t2i", 15))
+    b_lm = int(args.get("batch_lm", 4))
+    b_mmu = int(args.get("batch_mmu", 10))
+    res = int(args.get("resolution", 256))
+
+    cfg = ShowoConfig()
+    vq_cfg = VQConfig()
+    tc = TrainConfig(max_seq_length=128)
+    sp = {"<|pad|>": 50295, "<|soi|>": 50296, "<|eoi|>": 50297,
+          "<|mmu|>": 50300}
+    opt = make_optimizer(tc)
+
+    params = jax.jit(lambda k: init_showo_params(
+        cfg, k, dtype=jnp.bfloat16))(jax.random.PRNGKey(0))
+    state = TrainState(params, jax.jit(opt.init)(params),
+                       jnp.zeros((), jnp.int32))
+    from showo_tpu.models.magvit import MagvitV2 as _M
+
+    vq = _M(vq_cfg)
+    vq_params = jax.jit(lambda k: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16),
+        vq.init(k, jnp.zeros((1, res, res, 3)))["params"]))(
+            jax.random.PRNGKey(1))
+    jax.block_until_ready((state.params, vq_params))
+
+    L_text = tc.max_seq_length + 1
+    lm_L = L_text + cfg.num_vq_tokens + 2
+    rng = np.random.default_rng(0)
+    t2i_pixels = jnp.asarray(rng.normal(size=(b_t2i, res, res, 3)),
+                             jnp.float32)
+    t2i_text = jnp.asarray(rng.integers(2, 50000, size=(b_t2i, L_text)))
+    lm_ids = jnp.asarray(rng.integers(2, 50000, size=(b_lm, lm_L)))
+    lm_labels = jnp.where(lm_ids > 100, lm_ids, -100)
+    mmu_pixels = jnp.asarray(rng.normal(size=(b_mmu, res, res, 3)),
+                             jnp.float32)
+    mmu_text = jnp.asarray(rng.integers(2, 50000, size=(b_mmu, L_text - 1)))
+    mmu_labels = jnp.where(mmu_text > 100, mmu_text, -100)
+
+    step_fn = jax.jit(make_fused_train_step(
+        cfg, vq_cfg, tc, opt, sp, b_t2i, b_lm, b_mmu, cosine_schedule),
+        donate_argnums=(0,))
+
+    def run(state, key):
+        return step_fn(state, vq_params, t2i_pixels, t2i_text, lm_ids,
+                       lm_labels, mmu_pixels, mmu_text, mmu_labels, key)
+
+    state, m = run(state, jax.random.PRNGKey(2))
+    float(m["loss"])  # scalar fetch: block_until_ready does not force a
+    # real device sync over the axon tunnel
+    iters = int(args.get("iters", 10))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = run(state, jax.random.PRNGKey(3 + i))
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    n = b_t2i + b_lm + b_mmu
+    print(json.dumps({
+        "metric": f"train_samples_per_sec_per_chip_{res}px",
+        "value": round(n / dt, 2), "unit": "samples/s/chip",
+        "vs_baseline": None}))
+
+
 def main() -> None:
     args = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+    if args.get("metric") == "train":
+        return bench_train(args)
     if args.get("metric") == "mmu":
         return bench_mmu(args)
     if args.get("metric") == "vq":
