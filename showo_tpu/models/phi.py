@@ -121,6 +121,13 @@ def _attention(q, k, v, bias, attn_meta=None, q_positions=None,
         impl = attn_meta[0] if isinstance(attn_meta[0], str) else "pallas"
         meta = attn_meta[1:] if isinstance(attn_meta[0], str) else attn_meta
         seg, pad, last_pad, prefix = meta
+        if impl == "pallas_decode":
+            # bias-driven fused decode kernel (scores+softmax+PV in VMEM);
+            # requires the dense additive bias — metadata unused
+            assert bias is not None, "pallas_decode needs the additive bias"
+            from showo_tpu.ops.decode_attention import decode_attention
+
+            return decode_attention(q, k, v, bias)
         if impl == "pallas_streaming":
             # online-softmax K-blocked kernel: no VMEM ceiling on S
             from showo_tpu.ops.streaming_attention import \

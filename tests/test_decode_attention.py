@@ -54,3 +54,43 @@ def test_decode_attention_fully_masked_row_padding():
     bias = jnp.zeros((B, 1, Q, K)).at[:, :, 1, :].set(-1e9)
     out = decode_attention(q, k, v, bias, interpret=True)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_phi_cached_decode_pallas_decode_routing():
+    """phi_forward static-prefix decode with attn_meta=("pallas_decode",...)
+    matches the dense cached path (the end-to-end bench attn=pallas_decode
+    plumbing)."""
+    from unittest import mock
+
+    from showo_tpu.models.phi import (KVCache, PhiConfig, init_phi_params,
+                                      phi_forward)
+    from showo_tpu.ops import decode_attention as da
+
+    cfg = PhiConfig(vocab_size=120, hidden_size=64, intermediate_size=128,
+                    num_layers=2, num_heads=4)
+    params = init_phi_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 120)
+    P = 8
+    cache = KVCache.zeros(cfg, 2, 16)
+    pb = jnp.zeros((2, 1, P, 16)).at[:, :, :, P:].set(-1e9)
+    _, c = phi_forward(cfg, params, input_ids=ids[:, :P],
+                       attention_bias=pb, cache=cache)
+    step_bias = jnp.zeros((2, 1, 8, 16))
+    ref, _ = phi_forward(cfg, params, input_ids=ids[:, P:],
+                         attention_bias=step_bias, cache=c,
+                         static_prefix_len=P)
+    meta = ("pallas_decode", jnp.zeros((2, 16), jnp.int32),
+            jnp.zeros((2, 16), jnp.int32), jnp.full((2,), -1, jnp.int32),
+            jnp.zeros((2,), jnp.int32))
+    orig = da.decode_attention
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    with mock.patch.object(da, "decode_attention", interp):
+        got, _ = phi_forward(cfg, params, input_ids=ids[:, P:],
+                             attention_bias=step_bias, cache=c,
+                             static_prefix_len=P, attn_meta=meta)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)
