@@ -148,7 +148,7 @@ def init_dit_params(cfg: DiffusionHeadConfig, key, dtype=jnp.float32):
 
 
 def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
-               modality_positions):
+               modality_positions, attn_meta=None, attn_impl=None):
     """One ModulatedAttentionBlock (modules.py:131-218)."""
     B, S, D = h.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -179,15 +179,39 @@ def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
     q = q * cos_b + _rotate_half(q) * sin_b
     k = k * cos_b + _rotate_half(k) * sin_b
 
-    G = H // Hkv
-    qg = q.reshape(B, S, Hkv, G, Dh)
-    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg.astype(jnp.float32),
-                        k.astype(jnp.float32),
-                        preferred_element_type=jnp.float32) / math.sqrt(Dh)
-    if bias is not None:
-        scores = scores + bias[:, :, None].astype(jnp.float32)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    attn = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v).reshape(B, S, H * Dh)
+    if attn_meta is not None:
+        # same Pallas routing as qwen2._layer — the DiT head shares the
+        # omni mask, so long-seq training avoids its S x S bias too
+        if isinstance(attn_meta[0], str):
+            impl, meta = attn_meta[0], attn_meta[1:]
+        else:
+            impl, meta = attn_impl or "pallas_streaming", attn_meta
+        seg, pad, last_pad, prefix = meta
+        if impl == "pallas_trainable":
+            from showo_tpu.ops.streaming_attention_grad import \
+                omni_attention_trainable
+
+            attn = omni_attention_trainable(
+                jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                jnp.swapaxes(v, 1, 2), seg, pad, last_pad, prefix)
+        else:
+            from showo_tpu.ops.streaming_attention import \
+                omni_attention_streaming
+
+            attn = omni_attention_streaming(
+                jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                jnp.swapaxes(v, 1, 2), seg, pad, last_pad, prefix)
+        attn = jnp.swapaxes(attn, 1, 2).reshape(B, S, H * Dh)
+    else:
+        G = H // Hkv
+        qg = q.reshape(B, S, Hkv, G, Dh)
+        scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg.astype(jnp.float32),
+                            k.astype(jnp.float32),
+                            preferred_element_type=jnp.float32) / math.sqrt(Dh)
+        if bias is not None:
+            scores = scores + bias[:, :, None].astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        attn = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v).reshape(B, S, H * Dh)
     attn = attn @ lp["o"]["kernel"]
 
     h = h + gate_msa * attn
@@ -200,17 +224,21 @@ def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
 
 
 def dit_forward(cfg: DiffusionHeadConfig, params, h, adaln_input,
-                attention_bias, modality_positions, remat: bool = False):
+                attention_bias, modality_positions, remat: bool = False,
+                attn_meta=None):
     """Stack of ModulatedAttentionBlocks as a scan."""
     B, S, _ = h.shape
     positions = jnp.arange(S)[None, :]
     cos, sin = llama3_rope_tables(positions, cfg)
-    layer_fn = (jax.checkpoint(_dit_layer, static_argnums=(0,))
+    attn_impl = None
+    if attn_meta is not None and isinstance(attn_meta[0], str):
+        attn_impl, attn_meta = attn_meta[0], attn_meta[1:]
+    layer_fn = (jax.checkpoint(_dit_layer, static_argnums=(0, 9))
                 if remat else _dit_layer)
 
     def body(h, lp):
         return layer_fn(cfg, lp, h, adaln_input, attention_bias, cos, sin,
-                        modality_positions), None
+                        modality_positions, attn_meta, attn_impl), None
 
     h, _ = jax.lax.scan(body, h, params["layers"],
                         unroll=cfg.scan_unroll)

@@ -107,7 +107,7 @@ def init_qwen2_params(cfg: Qwen2Config, key, dtype=jnp.float32) -> Dict[str, Any
 
 
 def _layer(cfg: Qwen2Config, lp, h, bias, cos, sin, cache_kv=None,
-           cache_index=None, attn_meta=None):
+           cache_index=None, attn_meta=None, attn_impl=None):
     B, S, D = h.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -130,14 +130,28 @@ def _layer(cfg: Qwen2Config, lp, h, bias, cos, sin, cache_kv=None,
         new_kv = (k, v)
 
     if attn_meta is not None:
-        # Pallas omni kernels with GQA (no S x S bias in HBM)
-        impl = attn_meta[0] if isinstance(attn_meta[0], str) else "pallas_packed"
-        impl_meta = attn_meta[1:] if isinstance(attn_meta[0], str) else attn_meta
+        # Pallas omni kernels with GQA (no S x S bias in HBM).  The impl
+        # string may arrive split out as attn_impl (static under remat —
+        # strings cannot be jax.checkpoint operands) or as attn_meta[0].
+        if isinstance(attn_meta[0], str):
+            impl, impl_meta = attn_meta[0], attn_meta[1:]
+        else:
+            impl, impl_meta = attn_impl or "pallas_packed", attn_meta
         seg, pad, last_pad, prefix = impl_meta
         q_positions = (cache_index + jnp.arange(S)
                        if cache_kv is not None else None)
         Skv = k_att.shape[1]
-        if impl == "pallas_streaming":
+        if impl == "pallas_trainable":
+            # differentiable flash kernel (custom VJP, no S x S in HBM):
+            # the training-path attention for long mixed-modal/video seqs
+            from showo_tpu.ops.streaming_attention_grad import \
+                omni_attention_trainable
+
+            attn = omni_attention_trainable(
+                jnp.swapaxes(q, 1, 2), jnp.swapaxes(k_att, 1, 2),
+                jnp.swapaxes(v_att, 1, 2), seg, pad, last_pad, prefix)
+            attn = jnp.swapaxes(attn, 1, 2).reshape(B, S, H * Dh)
+        elif impl == "pallas_streaming":
             # online-softmax K-blocked kernel: no VMEM ceiling on S
             from showo_tpu.ops.streaming_attention import \
                 omni_attention_streaming
@@ -203,13 +217,20 @@ def qwen2_forward(
     cos, sin = rope_tables(position_ids, cfg.head_dim, cfg.rope_theta)
 
     h = input_embeds
-    layer_fn = jax.checkpoint(_layer, static_argnums=(0,)) if remat else _layer
+    # split the impl string from attn_meta: strings cannot be operands of
+    # jax.checkpoint, so it rides as a static argument instead
+    attn_impl = None
+    if attn_meta is not None and isinstance(attn_meta[0], str):
+        attn_impl, attn_meta = attn_meta[0], attn_meta[1:]
+    layer_fn = (jax.checkpoint(_layer, static_argnums=(0, 9))
+                if remat else _layer)
 
     if cache is not None:
         def body(h, xs):
             lp, layer_kv = xs
             h, new_kv = layer_fn(cfg, lp, h, attention_bias, cos, sin,
-                                 layer_kv, cache.length, attn_meta)
+                                 layer_kv, cache.length, attn_meta,
+                                 attn_impl)
             return h, new_kv
 
         h, (nk, nv) = jax.lax.scan(body, h, (params["layers"],
@@ -219,7 +240,7 @@ def qwen2_forward(
     else:
         def body(h, lp):
             h, _ = layer_fn(cfg, lp, h, attention_bias, cos, sin, None, None,
-                            attn_meta)
+                            attn_meta, attn_impl)
             return h, None
 
         h, _ = jax.lax.scan(body, h, params["layers"],

@@ -255,8 +255,16 @@ def showo2_forward(
         h = h @ dp["fc2"]["kernel"] + dp["fc2"]["bias"]
     else:
         h = last_hidden
+    # the DiT head shares the omni mask; route the long-seq kernels into
+    # it too ("pallas_packed" stays qwen-only: inference at shipped
+    # lengths measured faster with the dense dit path)
+    dit_meta = (attn_meta if attn_meta is not None
+                and isinstance(attn_meta[0], str)
+                and attn_meta[0] in ("pallas_trainable", "pallas_streaming")
+                else None)
     h = dit_forward(cfg.dit, params["diffusion_head_a"], h, time_embeds,
-                    attention_bias, modality_positions, remat=remat)
+                    attention_bias, modality_positions, remat=remat,
+                    attn_meta=dit_meta)
     v_pred = final_layer_apply(params["diffusion_head_b"], h, time_embeds,
                                modality_positions)  # [B, L, p^2 C]
     out["v_seq"] = v_pred

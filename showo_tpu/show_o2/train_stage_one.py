@@ -48,6 +48,10 @@ class Stage1Config:
     weight_decay: float = 0.01
     warmup_steps: int = 0
     grad_accum_steps: int = 1      # gradient_accumulation_steps
+    # "dense" | "pallas_trainable": the flash custom-VJP kernel — no
+    # S x S scores in HBM; the lever for max_mixed_modal_seq_length=5120
+    # and video training (showo2_1.5b_stage_1_a.yaml:66-75)
+    attn_impl: str = "dense"
 
 
 def make_stage1_optimizer(sc: Stage1Config, params,
@@ -114,14 +118,23 @@ def make_stage1_step(cfg: Showo2Config, vae_cfg: WanVAEConfig,
         x0 = jax.random.normal(k_noise, latents.shape, latents.dtype)
         _, xt, ut = transport.path_sampler.plan(t, x0, latents)
 
-        bias = omni_attn_mask(batch["modality_positions"], L)
+        attn_meta = None
+        if sc.attn_impl.startswith("pallas"):
+            from showo_tpu.ops.flash_attention import \
+                seg_from_modality_positions
+
+            seg = seg_from_modality_positions(batch["modality_positions"], L)
+            attn_meta = (sc.attn_impl, seg, None, None, None)
+            bias = None  # mask recomputed in-kernel from seg metadata
+        else:
+            bias = omni_attn_mask(batch["modality_positions"], L)
 
         def loss_fn(params):
             out = showo2_forward(
                 cfg, params, batch["text_tokens"], xt, t, bias,
                 batch["modality_positions"],
                 text_labels=batch["text_labels"], image_labels=ut,
-                image_masks=image_masks, remat=True)
+                image_masks=image_masks, remat=True, attn_meta=attn_meta)
             loss_flow = out["loss_flow"]
             total = sc.ntp_coeff * out["loss_ntp"] + sc.flow_coeff * loss_flow
             return total, (out["loss_ntp"], loss_flow)
@@ -336,7 +349,8 @@ def main() -> None:
         flow_coeff=float(tr.get("flow_coeff", 1.0)),
         und_max_t0=tr.get("und_max_t0", 1.0),
         warmup_steps=int(tr.get("warmup_steps", 0)),
-        grad_accum_steps=int(tr.get("gradient_accumulation_steps", 1)))
+        grad_accum_steps=int(tr.get("gradient_accumulation_steps", 1)),
+        attn_impl=str(tr.get("attn_impl", "dense")))
 
     n_img = config.dataset.preprocessing.num_t2i_image_tokens \
         + (1 if cfg.add_time_embeds else 0)

@@ -139,7 +139,8 @@ def main() -> None:
         ntp_coeff=float(tr.get("ntp_coeff", 0.2)),
         flow_coeff=float(tr.get("flow_coeff", 1.0)),
         und_max_t0=tr.get("und_max_t0", 1.0),
-        grad_accum_steps=int(tr.get("gradient_accumulation_steps", 1)))
+        grad_accum_steps=int(tr.get("gradient_accumulation_steps", 1)),
+        attn_impl=str(tr.get("attn_impl", "dense")))
 
     n_img = config.dataset.preprocessing.num_t2i_image_tokens \
         + (1 if cfg.add_time_embeds else 0)
