@@ -50,9 +50,9 @@ class ImageTextDataset:
             # inside the global batch
             from showo_tpu.data.loader import shard_for_process
 
-            sharded = shard_for_process(self.records)
-            if sharded:
-                self.records = sharded
+            # wrap-around sharding guarantees a non-empty shard for every
+            # process (no silent full-dataset fallback)
+            self.records = shard_for_process(self.records)
         self.image_root = image_root
         self.tokenizer = tokenizer
         self.ids = showo_token_ids

@@ -19,13 +19,21 @@ import numpy as np
 
 def shard_for_process(items: List, process_index: Optional[int] = None,
                       process_count: Optional[int] = None) -> List:
-    """Static per-host shard (DistributedSampler analogue)."""
+    """Static per-host shard (DistributedSampler analogue).
+
+    Like DistributedSampler, ranks beyond len(items) wrap around instead
+    of receiving an empty shard (torch pads total_size to a multiple of
+    num_replicas) — every process gets at least one record, and no
+    process silently falls back to the full dataset."""
     if process_index is None:
         import jax
 
         process_index = jax.process_index()
         process_count = jax.process_count()
-    return items[process_index::process_count]
+    shard = items[process_index::process_count]
+    if not shard and items:
+        shard = [items[process_index % len(items)]]
+    return shard
 
 
 def default_collate(samples: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:

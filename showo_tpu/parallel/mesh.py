@@ -38,9 +38,12 @@ def make_mesh(dp: Optional[int] = None, fsdp: int = 1, tp: int = 1,
 # framework.  Matched by path suffix; first match wins.  Kernels shard the
 # largest contraction-free axis over fsdp, attention/MLP output axes over tp.
 _DEFAULT_RULES: Sequence[tuple] = (
-    # stacked transformer layers (phi/qwen2/dit/siglip): [L, in, out]
-    (r"layers/(q|k|v|qkv|fc1|gate|up)/kernel$", P(None, None, ("fsdp", "tp"))),
-    (r"layers/(dense|o|out|fc2|down)/kernel$", P(None, ("fsdp", "tp"), None)),
+    # stacked transformer layers (phi/qwen2/dit/siglip): [L, in, out];
+    # win/wout are the fuse_parallel_mlp fused kernels (models/phi.py)
+    (r"layers/(q|k|v|qkv|fc1|gate|up|win)/kernel$",
+     P(None, None, ("fsdp", "tp"))),
+    (r"layers/(dense|o|out|fc2|down|wout)/kernel$",
+     P(None, ("fsdp", "tp"), None)),
     (r"layers/adaln/kernel$", P(None, None, ("fsdp", "tp"))),
     (r"layers/.*/bias$", P()),
     (r"layers/.*/scale$", P()),

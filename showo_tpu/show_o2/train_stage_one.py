@@ -399,11 +399,12 @@ def main() -> None:
     from showo_tpu.training.train_showo import load_validation_prompts
     from showo_tpu.utils.logging import resolve_wandb_run_id
 
-    run_id, resume = resolve_wandb_run_id(config,
-                                          config.experiment.output_dir)
+    wandb_on = bool(config.get("wandb_enabled", False))
+    run_id, resume = resolve_wandb_run_id(config, config.experiment.output_dir,
+                                          enabled=wandb_on)
     tracker = Tracker(project=config.experiment.project,
                       name=config.experiment.name,
-                      enabled=bool(config.get("wandb_enabled", False)),
+                      enabled=wandb_on,
                       run_id=run_id, resume=resume)
     trainer.fit(mixed, max_steps=int(tr.max_train_steps),
                 log_every=int(config.experiment.get("log_every", 50)),

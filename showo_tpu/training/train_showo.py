@@ -51,7 +51,13 @@ def max_size_cycle_zip(*loaders):
                 if all(exhausted):
                     return
                 its[i] = iter(loaders[i])
-                b = next(its[i])
+                try:
+                    b = next(its[i])
+                except StopIteration:
+                    # PEP 479 would turn this into an opaque RuntimeError
+                    raise ValueError(
+                        f"loader {i} yielded no batches after restart "
+                        "(empty dataset or shard?)") from None
             out.append(b)
         if all(exhausted):
             return
@@ -205,10 +211,12 @@ class ShowoTrainer:
             predict_all_tokens=tr.get("predict_all_tokens", False))
         from showo_tpu.utils.logging import resolve_wandb_run_id
 
-        run_id, resume = resolve_wandb_run_id(c, c.experiment.output_dir)
+        wandb_on = bool(c.get("wandb_enabled", False))
+        run_id, resume = resolve_wandb_run_id(c, c.experiment.output_dir,
+                                              enabled=wandb_on)
         self.tracker = Tracker(project=c.experiment.project,
                                name=c.experiment.name,
-                               enabled=bool(c.get("wandb_enabled", False)),
+                               enabled=wandb_on,
                                run_id=run_id, resume=resume)
         self.global_step = 0
 
@@ -297,6 +305,18 @@ class ShowoTrainer:
         tr = self.config.training
         schedule = get_mask_schedule(tr.get("mask_schedule", "cosine"))
 
+        # jitted once per trainer: a fresh closure per call would be a
+        # jit-cache miss and recompile the full forward every trigger
+        if getattr(self, "_viz_fn", None) is not None:
+            viz = self._viz_fn
+            pixels = jnp.asarray(t2i_batch["image"])
+            text_block = jnp.asarray(
+                self.uni_prompting.t2i_text_block(t2i_batch["text"]))
+            recon, predicted, mask_ratio = viz(
+                self.state.params, self.vq_params, pixels, text_block, key)
+            return self._save_viz(pixels, recon, predicted, mask_ratio,
+                                  output_dir)
+
         @jax.jit
         def viz(params, vq_params, pixels, text_block, key):
             k_corrupt, = jax.random.split(key, 1)
@@ -329,11 +349,20 @@ class ShowoTrainer:
                                  method=vq.decode_code)
             return recon, predicted, mask_ratio
 
+        self._viz_fn = viz
         pixels = jnp.asarray(t2i_batch["image"])
         text_block = jnp.asarray(
             self.uni_prompting.t2i_text_block(t2i_batch["text"]))
         recon, predicted, mask_ratio = viz(self.state.params, self.vq_params,
                                            pixels, text_block, key)
+        self._save_viz(pixels, recon, predicted, mask_ratio, output_dir)
+
+    def _save_viz(self, pixels, recon, predicted, mask_ratio,
+                  output_dir: str):
+        import os
+
+        from showo_tpu.utils.image import to_pil_images
+
         panel = np.concatenate([np.asarray(pixels, np.float32),
                                 np.asarray(recon, np.float32),
                                 np.asarray(predicted, np.float32)], axis=2)
@@ -385,7 +414,8 @@ class ShowoTrainer:
                         os.path.join(os.path.abspath(output_dir),
                                      f"checkpoint-{self.global_step}",
                                      "ema_state"),
-                        jax.device_get(self.ema_state.params))
+                        {"params": jax.device_get(self.ema_state.params),
+                         "step": jax.device_get(self.ema_state.step)})
                 from showo_tpu.data.loader import save_loader_state
 
                 for name, ld in (("t2i", t2i_loader), ("lm", lm_loader),
@@ -476,6 +506,31 @@ def main() -> None:
                 trainer.state = jax.tree.map(jnp.asarray, state)
                 trainer.global_step = step
                 logger.info("resumed from step %d", step)
+                if trainer.ema_state is not None:
+                    # the EMA average must resume too — otherwise it
+                    # silently restarts from the raw resumed params
+                    import orbax.checkpoint as ocp
+
+                    from showo_tpu.training.ema import EMAState
+
+                    ema_path = os.path.join(
+                        os.path.abspath(config.experiment.output_dir),
+                        f"checkpoint-{step}", "ema_state")
+                    if os.path.isdir(ema_path):
+                        restored = ocp.PyTreeCheckpointer().restore(ema_path)
+                        if isinstance(restored, dict) and "step" in restored:
+                            trainer.ema_state = EMAState(
+                                jax.tree.map(jnp.asarray, restored["params"]),
+                                jnp.asarray(restored["step"], jnp.int32))
+                        else:  # legacy params-only layout
+                            trainer.ema_state = EMAState(
+                                jax.tree.map(jnp.asarray, restored),
+                                jnp.asarray(step, jnp.int32))
+                        logger.info("restored EMA state at step %d", step)
+                    else:
+                        logger.warning(
+                            "no ema_state in checkpoint-%d; EMA restarts "
+                            "from the resumed raw params", step)
 
         from showo_tpu.config import snapshot_config
 

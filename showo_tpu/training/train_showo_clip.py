@@ -209,10 +209,12 @@ class ClipShowoTrainer(ShowoTrainer):
             min_masking_rate=tr.get("min_masking_rate", 0.0))
         from showo_tpu.utils.logging import resolve_wandb_run_id
 
-        run_id, resume = resolve_wandb_run_id(c, c.experiment.output_dir)
+        wandb_on = bool(c.get("wandb_enabled", False))
+        run_id, resume = resolve_wandb_run_id(c, c.experiment.output_dir,
+                                              enabled=wandb_on)
         self.tracker = Tracker(project=c.experiment.project,
                                name=c.experiment.name,
-                               enabled=bool(c.get("wandb_enabled", False)),
+                               enabled=wandb_on,
                                run_id=run_id, resume=resume)
         self.global_step = 0
         self._init_ema(tr)

@@ -82,9 +82,18 @@ def resume_latest(output_dir: str, target: Any = None,
         return None, 0
     try:
         return restore_checkpoint(path, target)
-    except Exception:
+    except Exception as e:
         if not params_only_fallback or not isinstance(target, (tuple, list)):
             raise
+        import logging
+
+        # loud: a weights-only resume resets optimizer moments (and any
+        # grad-accum counters) — intended for deliberate recipe changes,
+        # but this branch also catches genuine restore corruption
+        logging.getLogger(__name__).warning(
+            "full-state restore from %s failed (%s: %s); falling back to "
+            "WEIGHTS-ONLY resume — optimizer state resets to fresh",
+            path, type(e).__name__, e)
         import orbax.checkpoint as ocp
 
         ckptr = ocp.PyTreeCheckpointer()

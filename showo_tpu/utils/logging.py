@@ -59,12 +59,17 @@ class Stopwatch:
         return dt
 
 
-def resolve_wandb_run_id(config, output_dir: str):
+def resolve_wandb_run_id(config, output_dir: str, enabled: bool = True):
     """The reference's wandb run-id resume logic (train.py:129-151,
     inference_t2i.py:40-53): reuse config.wandb.run_id when set; otherwise
     reattach to the id persisted by a previous invocation of the same
     output_dir; otherwise generate a fresh id and persist it.  Returns
-    (run_id, resume_flag)."""
+    (run_id, resume_flag).
+
+    With enabled=False nothing is read or written — constructing a
+    trainer must not create output_dir or persist a run id as a side
+    effect (a persisted id would be shared by every later clone of the
+    directory)."""
     import os
     import random
     import string
@@ -74,6 +79,8 @@ def resolve_wandb_run_id(config, output_dir: str):
     resume = wandb_cfg.get("resume", "auto")
     if run_id:
         return run_id, resume
+    if not enabled:
+        return None, False
     path = os.path.join(output_dir, "wandb_run_id.txt")
     if os.path.exists(path):
         with open(path) as f:

@@ -105,3 +105,19 @@ def test_mmu_generate_on_mesh():
     toks = np.asarray(toks)
     assert toks.shape == (B, 5)
     assert np.isfinite(toks).all()
+
+
+def test_fused_params_shard_rules():
+    """fuse_parallel_mlp's win/wout kernels must match the fsdp/tp rules
+    (a replicated fused layer would silently lose the ZeRO memory win)."""
+    from showo_tpu.models.phi import fuse_parallel_mlp
+    from showo_tpu.parallel.mesh import param_sharding_rules
+
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    params = init_showo_params(CFG, jax.random.PRNGKey(0))
+    fused = {"showo": fuse_parallel_mlp(params["showo"])}
+    shardings = param_sharding_rules(fused, mesh)
+    win = shardings["showo"]["layers"]["win"]["kernel"].spec
+    wout = shardings["showo"]["layers"]["wout"]["kernel"].spec
+    assert win[2] == ("fsdp", "tp"), win
+    assert wout[1] == ("fsdp", "tp"), wout
