@@ -44,7 +44,12 @@ def build_showo_config(config) -> ShowoConfig:
         codebook_size=m.codebook_size,
         num_vq_tokens=m.num_vq_tokens,
         w_clip_vit=m.get("w_clip_vit", False),
-        llm=PhiConfig(vocab_size=m.vocab_size),
+        # attn_fp32=False opts into bf16 softmax scores: +8% decode
+        # throughput (STATUS.md); default True = the reference's fp32
+        # QK upcast (models/phi.py:359-362), token-exact at fp32
+        llm=PhiConfig(vocab_size=m.vocab_size,
+                      attn_fp32=bool(m.get("attn_fp32", True)),
+                      scan_unroll=int(m.get("scan_unroll", 1))),
     )
 
 
