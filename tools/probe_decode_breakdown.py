@@ -97,6 +97,24 @@ def main():
         print(f"{label:42s} {ms:7.2f} ms")
         return ms
 
+    # production round-2 path: fused parallel-residual layer + static
+    # prefix decode (what bench.py's 339 img/min actually runs)
+    from showo_tpu.models.phi import fuse_parallel_mlp
+
+    params_fused = dict(params, showo=fuse_parallel_mlp(params["showo"]))
+    llm24 = dataclasses.replace(cfg.llm, scan_unroll=24)
+
+    @jax.jit
+    def step_prod(params, ids, bias, cache):
+        logits, _ = phimod.phi_forward(
+            llm24, params["showo"], input_ids=ids,
+            attention_bias=bias, cache=cache,
+            lm_head_slice=head_slice, static_prefix_len=P)
+        return logits
+
+    ms = bench(step_prod, params_fused, ids, bias, cache)
+    print(f"{'PRODUCTION (fused mlp + static prefix)':42s} {ms:7.2f} ms")
+
     llm = dataclasses.replace(cfg.llm, scan_unroll=24)
     base = run(llm, "baseline (fp32 scores, unroll 24)")
     run(dataclasses.replace(llm, attn_fp32=False), "bf16 scores")
