@@ -161,3 +161,64 @@ def test_stage1_step_pallas_trainable_matches_dense():
     np.testing.assert_allclose(p["loss_ntp"], d["loss_ntp"], rtol=2e-4)
     np.testing.assert_allclose(p["loss_flow"], d["loss_flow"], rtol=2e-4)
     np.testing.assert_allclose(p["grad_norm"], d["grad_norm"], rtol=2e-3)
+
+
+def test_stage1_video_batch_pallas_trainable():
+    """Video batches (5D pixels -> joint video latents, the long-seq case
+    the flash kernel exists for) train through attn_impl=pallas_trainable
+    and match the dense step's losses."""
+    from unittest import mock
+
+    from showo_tpu.ops import streaming_attention_grad as sg
+    from showo_tpu.show_o2.showo2 import init_showo2_params
+    from showo_tpu.show_o2.train_stage_one import (
+        Stage1Config,
+        Stage1Trainer,
+    )
+    from showo_tpu.show_o2.transport import Transport
+    from showo_tpu.show_o2.wan_vae import init_wan_vae_params
+    from tests.test_train_stage_one import IDS, TINY, VAE_TINY
+    from showo_tpu.show_o2.formats import format_sequence_gen_qwen2_5
+
+    rng = np.random.default_rng(3)
+    T_pix = 5
+    n_tok = 3 * 16 + 1
+    Lv = 72
+    toks, labs, mps, ims = [], [], [], []
+    for i in range(2):
+        t, l, mp, tm, im = format_sequence_gen_qwen2_5(
+            list(rng.integers(10, 190, size=4)), num_image_tokens=n_tok,
+            max_seq_len=Lv, **IDS)
+        toks.append(t)
+        labs.append(l)
+        mps.append(mp)
+        ims.append(im)
+    batch = {
+        "text_tokens": np.stack(toks), "text_labels": np.stack(labs),
+        "modality_positions": np.stack(mps), "image_masks": np.stack(ims),
+        "images": rng.normal(size=(2, T_pix, 16, 16, 3)).astype(np.float32),
+        "is_und": np.zeros(2, np.int32),
+    }
+    key = jax.random.PRNGKey(5)
+    results = {}
+    for impl in ("dense", "pallas_trainable"):
+        trainer = Stage1Trainer(
+            cfg=TINY, vae_cfg=VAE_TINY,
+            sc=Stage1Config(attn_impl=impl),
+            params=init_showo2_params(TINY, jax.random.PRNGKey(0)),
+            vae_params=init_wan_vae_params(VAE_TINY, jax.random.PRNGKey(1)),
+            transport=Transport(snr_type="lognorm", do_shift=True,
+                                seq_len=n_tok))
+        orig = sg.omni_attention_trainable
+
+        def interp(*a, **kw):
+            kw.update(interpret=True, block_q=8, block_k=8)
+            return orig(*a, **kw)
+
+        with mock.patch.object(sg, "omni_attention_trainable", interp):
+            m = trainer.train_step(batch, key)
+        results[impl] = {k: float(v) for k, v in m.items()}
+
+    d, p = results["dense"], results["pallas_trainable"]
+    np.testing.assert_allclose(p["loss"], d["loss"], rtol=2e-4)
+    np.testing.assert_allclose(p["loss_flow"], d["loss_flow"], rtol=2e-4)
