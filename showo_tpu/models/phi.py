@@ -128,6 +128,16 @@ def _attention(q, k, v, bias, attn_meta=None, q_positions=None,
             from showo_tpu.ops.decode_attention import decode_attention
 
             return decode_attention(q, k, v, bias)
+        if impl == "pallas_trainable":
+            # differentiable flash kernel (custom VJP): the training-path
+            # attention — no S x S scores in HBM on forward OR backward
+            from showo_tpu.ops.streaming_attention_grad import \
+                omni_attention_trainable
+
+            out = omni_attention_trainable(
+                jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                jnp.swapaxes(v, 1, 2), seg, pad, last_pad, prefix)
+            return jnp.swapaxes(out, 1, 2)
         if impl == "pallas_streaming":
             # online-softmax K-blocked kernel: no VMEM ceiling on S
             from showo_tpu.ops.streaming_attention import \
@@ -251,12 +261,18 @@ def init_phi_params(cfg: PhiConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
 def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
            bias: Optional[jnp.ndarray], cos, sin,
            cache_kv=None, cache_index=None, attn_meta=None,
-           static_prefix: bool = False):
+           static_prefix: bool = False, attn_impl: Optional[str] = None):
     """One decoder layer. lp holds this layer's (unstacked) params.
+
+    attn_impl carries the attention impl string when attn_meta had it
+    split off (strings cannot be jax.checkpoint operands under remat;
+    phi_forward rebinds it via functools.partial).
 
     Returns (h_out, (k_full, v_full)) where k_full/v_full are the KV
     entries to store (either the fresh S positions, or the updated cache).
     """
+    if attn_impl is not None and attn_meta is not None:
+        attn_meta = (attn_impl,) + tuple(attn_meta)
     B, S, D = h.shape
     H, Dh = cfg.num_heads, cfg.head_dim
 
@@ -396,8 +412,16 @@ def phi_forward(
     h = input_embeds
     import functools as _ft
 
-    base_layer = (_ft.partial(_layer, static_prefix=True)
-                  if static_prefix_len is not None else _layer)
+    # split the impl string out of attn_meta: strings cannot ride through
+    # jax.checkpoint as operands — rebind statically via partial
+    attn_impl = None
+    if attn_meta is not None and isinstance(attn_meta[0], str):
+        attn_impl, attn_meta = attn_meta[0], attn_meta[1:]
+    base_layer = _layer
+    if static_prefix_len is not None:
+        base_layer = _ft.partial(base_layer, static_prefix=True)
+    if attn_impl is not None:
+        base_layer = _ft.partial(base_layer, attn_impl=attn_impl)
     layer_fn = (jax.checkpoint(base_layer, static_argnums=(0,))
                 if remat else base_layer)
 

@@ -102,16 +102,20 @@ def showo_losses(
     max_seq_length: int = 128,
     remat: bool = True,
     input_embeds=None,
+    attn_meta=None,
 ):
     """Fused 3-task forward (modeling_showo.py:59-102).
 
     Returns (logits, loss_t2i, loss_lm, loss_mmu).  max_seq_length is the
     text-prefix length of the t2i layout (slicing at max_seq_length+1).
     input_embeds replaces input_ids for the w_clip_vit continuous path.
+    attn_meta routes attention through the Pallas kernels (e.g.
+    "pallas_trainable" for the flash custom-VJP training path).
     """
     logits, _ = showo_forward(cfg, params, input_ids=input_ids,
                               input_embeds=input_embeds,
-                              attention_bias=attention_bias, remat=remat)
+                              attention_bias=attention_bias, remat=remat,
+                              attn_meta=attn_meta)
     t2i_end = batch_size_t2i
     lm_end = batch_size_t2i + batch_size_lm
 

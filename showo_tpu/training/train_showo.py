@@ -120,29 +120,55 @@ def make_fused_train_step(cfg: ShowoConfig, vq_cfg: VQConfig, tc: TrainConfig,
                                       img_labels + codebook_offset)
         t2i_ids, t2i_labels = assemble_t2i(t2i_text_block, img_unified,
                                            img_label_unified, soi, eoi, pad)
-        bias_t2i = omni_mask_predict_next(t2i_ids, pad_id=pad, soi_id=soi,
-                                          eoi_id=eoi, rm_pad_in_image=True)
-
-        # --- lm (host-assembled, device mask)
-        bias_lm = omni_mask_predict_next(lm_ids, pad_id=pad, soi_id=soi,
-                                         eoi_id=eoi, rm_pad_in_image=False)
 
         # --- mmu: frozen VQ encode + assembly
         mmu_img = vq.apply({"params": vq_params}, mmu_pixels,
                            method=vq.get_code) + codebook_offset
         mmu_ids, mmu_labels = assemble_mmu(mmu_text_block, mmu_text_labels,
                                            mmu_img, mmu_tok, soi, eoi)
-        bias_mmu = omni_mask_mmu(mmu_ids, eoi_id=eoi)
 
         input_ids = jnp.concatenate([t2i_ids, lm_ids, mmu_ids], axis=0)
         labels = jnp.concatenate([t2i_labels, lm_labels, mmu_labels], axis=0)
-        bias = jnp.concatenate([bias_t2i, bias_lm, bias_mmu], axis=0)
+
+        attn_meta, bias = None, None
+        if tc.attn_impl.startswith("pallas"):
+            # per-row O(S) kernel metadata instead of the three dense
+            # S x S biases: t2i rows prune pads (rm_pad_in_image=True),
+            # lm rows keep pads visible (pad map zeroed), mmu rows get
+            # the batch-first-eoi prefix quirk
+            from showo_tpu.ops.flash_attention import (metadata_mmu,
+                                                       metadata_predict_next,
+                                                       seg_from_soi_eoi)
+
+            seg_t, pad_t, lp_t, pf_t = metadata_predict_next(
+                t2i_ids, pad, soi, eoi)
+            Bl = lm_ids.shape[0]
+            seg_l = seg_from_soi_eoi(lm_ids, soi, eoi)
+            pad_l = jnp.zeros_like(seg_l)
+            lp_l = jnp.full((Bl,), -1, jnp.int32)
+            pf_l = jnp.zeros((Bl,), jnp.int32)
+            seg_m, pad_m, lp_m, pf_m = metadata_mmu(mmu_ids, eoi)
+            attn_meta = (
+                tc.attn_impl,
+                jnp.concatenate([seg_t, seg_l, seg_m], axis=0),
+                jnp.concatenate([pad_t, pad_l, pad_m], axis=0),
+                jnp.concatenate([lp_t, lp_l, lp_m], axis=0),
+                jnp.concatenate([pf_t, pf_l, pf_m], axis=0))
+        else:
+            bias_t2i = omni_mask_predict_next(t2i_ids, pad_id=pad,
+                                              soi_id=soi, eoi_id=eoi,
+                                              rm_pad_in_image=True)
+            bias_lm = omni_mask_predict_next(lm_ids, pad_id=pad, soi_id=soi,
+                                             eoi_id=eoi,
+                                             rm_pad_in_image=False)
+            bias_mmu = omni_mask_mmu(mmu_ids, eoi_id=eoi)
+            bias = jnp.concatenate([bias_t2i, bias_lm, bias_mmu], axis=0)
 
         def loss_fn(params):
             _, l_t2i, l_lm, l_mmu = showo_losses(
                 cfg, params, input_ids, labels, bias,
                 batch_size_t2i, batch_size_lm, batch_size_mmu,
-                max_seq_length=tc.max_seq_length)
+                max_seq_length=tc.max_seq_length, attn_meta=attn_meta)
             total = (tc.t2i_coeff * l_t2i + tc.lm_coeff * l_lm
                      + tc.mmu_coeff * l_mmu)
             return total, (l_t2i, l_lm, l_mmu)
@@ -188,6 +214,7 @@ class ShowoTrainer:
             mmu_coeff=tr.get("mmu_coeff", 1.0),
             max_seq_length=c.dataset.preprocessing.max_seq_length,
             grad_accum_steps=int(tr.get("gradient_accumulation_steps", 1)),
+            attn_impl=str(tr.get("attn_impl", "dense")),
         )
         from showo_tpu.training.lr_schedules import get_lr_schedule
 

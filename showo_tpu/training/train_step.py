@@ -33,6 +33,10 @@ class TrainConfig:
     mmu_coeff: float = 1.0
     max_seq_length: int = 128
     grad_accum_steps: int = 1
+    # "dense" | "pallas_trainable": flash custom-VJP attention — avoids
+    # the transient fp32 [B,H,S,S] score tensors in fwd/bwd (the lever
+    # for 512px training, S=1155)
+    attn_impl: str = "dense"
 
 
 def with_grad_accum(optimizer: optax.GradientTransformation,

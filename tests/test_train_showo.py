@@ -99,3 +99,51 @@ def test_trainer_ema_flag():
     assert not np.array_equal(ema, init_embed)   # EMA moved
     assert not np.array_equal(ema, live)         # but lags the live params
     assert int(trainer.ema_state.step) == 3
+
+
+def test_v1_fused_step_pallas_trainable_matches_dense():
+    """v1 fused step with training.attn_impl=pallas_trainable (per-row
+    kernel metadata replacing the three dense S x S biases: t2i rm_pad,
+    lm pads-visible, mmu batch-first-eoi prefix) reproduces the dense
+    step's losses and grad norm."""
+    from unittest import mock
+
+    from showo_tpu.ops import streaming_attention_grad as sg
+
+    uni = UniversalPrompting(FakeTokenizer(), max_text_len=8,
+                             cond_dropout_prob=0.0)
+    rng = np.random.default_rng(0)
+    t2i_batch = {"image": rng.normal(size=(2, 8, 8, 3)).astype(np.float32),
+                 "text": ["a cat", "a dog"]}
+    mmu_batch = {"image": rng.normal(size=(2, 8, 8, 3)).astype(np.float32),
+                 "text": ["describe it", "what is it"]}
+    lm_texts = ["language modeling text", "another document"]
+    key = jax.random.PRNGKey(7)
+
+    results = {}
+    for impl in ("dense", "pallas_trainable"):
+        cfg, config = _cfgs()
+        config.training["attn_impl"] = impl
+        params = init_showo_params(cfg, jax.random.PRNGKey(0))
+        vq = MagvitV2(VQ_TINY)
+        vq_params = vq.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 8, 8, 3)))["params"]
+        trainer = ShowoTrainer(config=config, cfg=cfg, vq_cfg=VQ_TINY,
+                               params=params, vq_params=vq_params,
+                               uni_prompting=uni)
+        orig = sg.omni_attention_trainable
+
+        def interp(*a, **kw):
+            kw.update(interpret=True, block_q=8, block_k=8)
+            return orig(*a, **kw)
+
+        with mock.patch.object(sg, "omni_attention_trainable", interp):
+            m = trainer.train_step(t2i_batch, lm_texts, mmu_batch, key)
+        results[impl] = {k: float(v) for k, v in m.items()}
+
+    d, p = results["dense"], results["pallas_trainable"]
+    np.testing.assert_allclose(p["loss"], d["loss"], rtol=2e-4)
+    np.testing.assert_allclose(p["loss_t2i"], d["loss_t2i"], rtol=2e-4)
+    np.testing.assert_allclose(p["loss_lm"], d["loss_lm"], rtol=2e-4)
+    np.testing.assert_allclose(p["loss_mmu"], d["loss_mmu"], rtol=2e-4)
+    np.testing.assert_allclose(p["grad_norm"], d["grad_norm"], rtol=2e-3)
