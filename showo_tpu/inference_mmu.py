@@ -39,7 +39,8 @@ def main() -> None:
     pipe = MMUPipeline(cfg=cfg, params=params, vq_cfg=vq_cfg,
                        vq_params=vq_params, uni_prompting=uni,
                        max_new_tokens=int(config.get("max_new_tokens", 100)),
-                       top_k=int(config.get("top_k", 1)))
+                       top_k=int(config.get("top_k", 1)),
+                       top_p=(float(config["top_p"]) if "top_p" in config else None))
 
     from showo_tpu.utils.image import image_transform
     from PIL import Image

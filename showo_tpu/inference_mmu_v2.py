@@ -59,7 +59,8 @@ def main() -> None:
                          vae_params=vae_params, tokenizer=tokenizer,
                          token_ids=token_ids,
                          max_new_tokens=int(config.get("max_new_tokens", 300)),
-                         top_k=int(config.get("top_k", 1)))
+                         top_k=int(config.get("top_k", 1)),
+                         top_p=(float(config["top_p"]) if "top_p" in config else None))
 
     from PIL import Image
 

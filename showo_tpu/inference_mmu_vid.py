@@ -33,6 +33,7 @@ def main() -> None:
                           token_ids=token_ids,
                           max_new_tokens=int(config.get("max_new_tokens", 300)),
                           top_k=int(config.get("top_k", 1)),
+                          top_p=(float(config["top_p"]) if "top_p" in config else None),
                           num_frames=int(config.get("num_frames", 9)))
 
     frames = load_video(str(config.video_path),

@@ -306,6 +306,7 @@ def showo_mmu_generate(
     max_new_tokens: int = 100,
     temperature: float = 1.0,
     top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
     eot_token: Optional[int] = None,
     cache_len: Optional[int] = None,
     injected_gumbel=None,
@@ -329,6 +330,6 @@ def showo_mmu_generate(
 
     return ar_generate(prefill, decode, prompt_ids, key,
                        max_new_tokens=max_new_tokens, temperature=temperature,
-                       top_k=top_k, eot_token=eot_token,
+                       top_k=top_k, top_p=top_p, eot_token=eot_token,
                        prompt_bias=prompt_bias,
                        injected_gumbel=injected_gumbel)

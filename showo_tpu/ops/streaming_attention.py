@@ -87,6 +87,12 @@ def _stream_kernel(lastpad_ref, prefix_ref,            # scalar prefetch
         m_curr = jnp.max(s, axis=-1)[:, None]   # [BQ, 1]
         m_next = jnp.maximum(m_prev, m_curr)    # broadcast -> [BQ, LANES]
         p = jnp.exp(s - m_next[:, :1])          # [BQ, BK]
+        # rows with no visible column so far still have m_next == NEG_INF
+        # exactly: exp(NEG_INF - NEG_INF) = 1 garbage would leak into l/acc
+        # for a real row whose ONLY visible columns never arrive (zero-
+        # visibility metadata); zero p so such rows keep l == 0 and hit the
+        # _finish guard instead of emitting sum(v)/block_k
+        p = jnp.where(m_next[:, :1] == NEG_INF, 0.0, p)
         alpha = jnp.exp(m_prev - m_next)        # [BQ, LANES]
         l_next = alpha * l_prev + jnp.sum(p, axis=-1)[:, None]
         m_ref[:] = m_next

@@ -77,17 +77,22 @@ def param_sharding_rules(params: Dict[str, Any], mesh: Mesh,
 
     def pick(path, leaf):
         s = _path_str(path)
+        # stacked-layer params are scanned over axis 0: relocating a
+        # sharding there would put collectives inside every lax.scan
+        # iteration, so dim 0 is never a relocation candidate for them
+        excl = (0,) if "layers/" in s else ()
         for pat, spec in rules:
             if re.search(pat, s):
                 # drop axes that don't divide the dim evenly -> replicate them
-                fixed = _fit_spec(spec, leaf.shape if hasattr(leaf, "shape") else (), mesh)
+                fixed = _fit_spec(spec, leaf.shape if hasattr(leaf, "shape") else (), mesh,
+                                  exclude_dims=excl)
                 return NamedSharding(mesh, fixed)
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(pick, params)
 
 
-def _fit_spec(spec: P, shape, mesh: Mesh) -> P:
+def _fit_spec(spec: P, shape, mesh: Mesh, exclude_dims=()) -> P:
     if len(spec) > len(shape):
         return P()
     out = []
@@ -111,7 +116,8 @@ def _fit_spec(spec: P, shape, mesh: Mesh) -> P:
         size = int(np.prod([mesh.shape[a] for a in axes_t]))
         # biggest still-unsharded divisible dim, if any
         cands = [i for i, (dim, cur) in enumerate(zip(shape, out))
-                 if cur is None and dim % size == 0 and dim >= size]
+                 if cur is None and dim % size == 0 and dim >= size
+                 and i not in exclude_dims]
         if cands:
             out[max(cands, key=lambda i: shape[i])] = axes
     return P(*out)

@@ -37,6 +37,7 @@ class MixedModalityPipeline:
     time_shifting_factor: float = 3.0
     max_new_tokens: int = 60
     top_k: Optional[int] = 5
+    top_p: Optional[float] = None
 
     def _tok(self, text: str) -> List[int]:
         ids = self.tokenizer(text, add_special_tokens=False)["input_ids"]
@@ -72,6 +73,7 @@ class MixedModalityPipeline:
         toks, valid = ar_generate(
             prefill, decode, prompt, key,
             max_new_tokens=self.max_new_tokens, top_k=self.top_k,
+            top_p=self.top_p,
             eot_token=ids["eos_id"])
         toks, valid = np.asarray(toks)[0], np.asarray(valid)[0]
         out = []

@@ -36,6 +36,7 @@ class MMUPipeline:
     uni_prompting: UniversalPrompting
     max_new_tokens: int = 100
     top_k: Optional[int] = 1
+    top_p: Optional[float] = None
     temperature: float = 1.0
     param_fusion: str = "mlp"  # "mlp" | "qkv" | "none" (exact parity)
 
@@ -79,7 +80,7 @@ class MMUPipeline:
         toks, valid = showo_mmu_generate(
             self.cfg, self.params, prompt, key, prompt_bias=bias,
             max_new_tokens=self.max_new_tokens, temperature=self.temperature,
-            top_k=self.top_k, eot_token=sp["<|eot|>"])
+            top_k=self.top_k, top_p=self.top_p, eot_token=sp["<|eot|>"])
         toks, valid = np.asarray(toks)[0], np.asarray(valid)[0]
         out = toks[valid].tolist()
         eot = sp["<|eot|>"]
@@ -137,6 +138,7 @@ class MMUPipeline:
         toks, valid = ar_generate(
             prefill_ids, decode, jnp.zeros((B, S), jnp.int32), key,
             max_new_tokens=self.max_new_tokens, temperature=self.temperature,
-            top_k=self.top_k, eot_token=eot, prompt_bias=bias)
+            top_k=self.top_k, top_p=self.top_p, eot_token=eot,
+            prompt_bias=bias)
         toks, valid = np.asarray(toks)[0], np.asarray(valid)[0]
         return [t for t in toks[valid].tolist() if t != eot]

@@ -94,6 +94,7 @@ class MMUVidPipeline(MMUV2Pipeline):
         toks, valid = ar_generate(
             prefill, decode, jnp.zeros((B, S), jnp.int32), key,
             max_new_tokens=self.max_new_tokens, temperature=self.temperature,
-            top_k=self.top_k, eot_token=eos, prompt_bias=bias)
+            top_k=self.top_k, top_p=self.top_p, eot_token=eos,
+            prompt_bias=bias)
         toks, valid = np.asarray(toks)[0], np.asarray(valid)[0]
         return [t for t in toks[valid].tolist() if t != eos]

@@ -137,6 +137,40 @@ class UniversalPrompting:
                                 self.sptids["<|soi|>"], self.sptids["<|eoi|>"],
                                 self.sptids["<|t2i|>"], False)
 
+    def i2v_prompt(self, image_ids, video_ids, labels=None):
+        """Image-to-video sequence: ``[v2v][soi]img[eoi][sov]video[eov]``.
+
+        The reference declares the task (dispatch at
+        training/prompting_utils.py:447-450) but its ``i2v_prompt``
+        (:301-310) is an empty stub returning None.  This is the concrete
+        TPU-framework completion: the conditioning image span uses the
+        soi/eoi markers, the generated clip uses sov/eov, tagged by the
+        otherwise-unused ``<|v2v|>`` task token from the reference's
+        special-token set (prompting_utils.py:20-32).  Labels (when given)
+        follow the mmu convention: the conditioning prefix is ignore_id,
+        supervision covers the video tokens and the eov marker.
+        """
+        image_ids = np.asarray(image_ids)
+        video_ids = np.asarray(video_ids)
+        B, n_img = image_ids.shape
+        v2v, soi, eoi = (self.sptids["<|v2v|>"], self.sptids["<|soi|>"],
+                         self.sptids["<|eoi|>"])
+        sov, eov = self.sptids["<|sov|>"], self.sptids["<|eov|>"]
+        seqs, masks, labs = [], [], []
+        for i in range(B):
+            seq = np.concatenate([[v2v, soi], image_ids[i], [eoi, sov],
+                                  video_ids[i], [eov]])
+            seqs.append(seq)
+            masks.append(np.ones(len(seq), np.int64))
+            if labels is not None:
+                lab = np.concatenate([
+                    np.full(n_img + 4, self.ignore_id, np.int64),
+                    np.asarray(labels[i], np.int64), [eov]])
+                labs.append(lab)
+        if labels is not None:
+            return np.stack(seqs), np.stack(masks), np.stack(labs)
+        return np.stack(seqs), np.stack(masks)
+
     def lm_prompt(self, text_ids, max_seq_len: int):
         eos = int(self.text_tokenizer.eos_token_id)
         seqs, masks, labs = [], [], []
@@ -241,6 +275,9 @@ class UniversalPrompting:
                                   input[1])
         if task == "mmu":
             return self.mmu_prompt(input[0], tok(input[1])["input_ids"])
+        if task == "i2v":
+            return self.i2v_prompt(input[0], input[1],
+                                   input[2] if len(input) > 2 else None)
         if task == "lvg":
             return self.lvg_prompt(tok(input[0])["input_ids"], input[1], input[2])
         if task == "lvg_gen":

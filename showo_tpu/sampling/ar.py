@@ -20,12 +20,34 @@ import jax.numpy as jnp
 from showo_tpu.ops.masks import NEG_INF
 
 
+def top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """Nucleus filtering, reference-exact semantics.
+
+    Matches models/sampling.py:80-110 (``top_k_top_p_filtering``) and the
+    inline v2 copies (show-o2/models/modeling_showo2_qwen2_5.py:617-624,
+    :696-703): sort descending, cumulative softmax probabilities, remove
+    tokens whose *exclusive* cumulative probability exceeds ``top_p`` —
+    the reference shifts the inclusive-cumsum mask right by one so the
+    first token crossing the threshold is kept (and position 0 always is).
+    """
+    sorted_idx = jnp.argsort(-logits, axis=-1)
+    sorted_logits = jnp.take_along_axis(logits, sorted_idx, axis=-1)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    exclusive = jnp.cumsum(probs, axis=-1) - probs
+    keep_sorted = exclusive <= top_p
+    inv = jnp.argsort(sorted_idx, axis=-1)
+    keep = jnp.take_along_axis(keep_sorted, inv, axis=-1)
+    return jnp.where(keep, logits, -jnp.inf)
+
+
 def _sample_logits(key, logits, temperature: float, top_k: Optional[int],
-                   gumbel=None):
+                   gumbel=None, top_p: Optional[float] = None):
     logits = logits / temperature
     if top_k is not None:
         kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p is not None and top_p < 1.0:
+        logits = top_p_filter(logits, top_p)
     if gumbel is not None:
         # RNG-bridging harness: argmax(logits + g) == multinomial(softmax)
         return jnp.argmax(logits + gumbel, axis=-1)
@@ -41,6 +63,7 @@ def ar_generate(
     max_new_tokens: int,
     temperature: float = 1.0,
     top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
     eot_token: Optional[int] = None,
     prompt_bias: Optional[jnp.ndarray] = None,
     injected_gumbel: Optional[jnp.ndarray] = None,
@@ -59,7 +82,8 @@ def ar_generate(
 
     key, k0 = jax.random.split(key)
     g0 = injected_gumbel[0] if injected_gumbel is not None else None
-    next_tok = _sample_logits(k0, logits[:, -1, :], temperature, top_k, g0)
+    next_tok = _sample_logits(k0, logits[:, -1, :], temperature, top_k, g0,
+                              top_p)
 
     def step(carry, step_idx):
         tok, cache, key = carry
@@ -70,7 +94,8 @@ def ar_generate(
         logits, cache = decode_fn(tok[:, None], bias, cache)
         g = (injected_gumbel[step_idx + 1]
              if injected_gumbel is not None else None)
-        nxt = _sample_logits(k1, logits[:, -1, :], temperature, top_k, g)
+        nxt = _sample_logits(k1, logits[:, -1, :], temperature, top_k, g,
+                             top_p)
         return (nxt, cache, key), tok
 
     (_, _, _), toks = jax.lax.scan(

@@ -283,7 +283,12 @@ class ShowoTrainer:
             jnp.asarray(lm_ids), jnp.asarray(lm_labels),
             jnp.asarray(mmu_batch["image"]), jnp.asarray(mmu_text),
             jnp.asarray(mmu_text_labels), key)
-        if self.ema_state is not None:
+        # EMA tracks OPTIMIZER steps, not micro-steps: with gradient
+        # accumulation the MultiSteps optimizer only changes params every
+        # grad_accum_steps calls, so applying decay per micro-step would
+        # shrink the configured decay horizon by that factor
+        k = max(1, self.tc.grad_accum_steps)
+        if self.ema_state is not None and (self.global_step + 1) % k == 0:
             self.ema_state = self._ema_update(self.ema_state,
                                               self.state.params)
         self.global_step += 1
@@ -382,7 +387,8 @@ class ShowoTrainer:
             self.uni_prompting.t2i_text_block(t2i_batch["text"]))
         recon, predicted, mask_ratio = viz(self.state.params, self.vq_params,
                                            pixels, text_block, key)
-        self._save_viz(pixels, recon, predicted, mask_ratio, output_dir)
+        return self._save_viz(pixels, recon, predicted, mask_ratio,
+                              output_dir)
 
     def _save_viz(self, pixels, recon, predicted, mask_ratio,
                   output_dir: str):

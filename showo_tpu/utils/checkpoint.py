@@ -96,10 +96,19 @@ def resume_latest(output_dir: str, target: Any = None,
             path, type(e).__name__, e)
         import orbax.checkpoint as ocp
 
-        ckptr = ocp.PyTreeCheckpointer()
-        raw = ckptr.restore(os.path.join(os.path.abspath(path), "state"))
-        with open(os.path.join(path, "metadata.json")) as f:
-            step = json.load(f)["global_step"]
+        try:
+            ckptr = ocp.PyTreeCheckpointer()
+            raw = ckptr.restore(os.path.join(os.path.abspath(path), "state"))
+            with open(os.path.join(path, "metadata.json")) as f:
+                step = json.load(f)["global_step"]
+        except Exception:
+            raise e  # genuine corruption: surface the original failure
+        # re-verify the params half actually restored: a truncated /
+        # corrupted checkpoint must not silently degrade to weights-only
+        want = jax.tree_util.tree_structure(jax.device_get(target[0]))
+        got = jax.tree_util.tree_structure(raw[0])
+        if want != got:
+            raise e
         return (raw[0],) + tuple(target[1:]), step
 
 

@@ -93,3 +93,33 @@ def test_t2i_plus_lm(golden, uni):
     ref_ids, _, ref_labs = uni((texts[3:], 16), "lm")
     np.testing.assert_array_equal(b_ids, ref_ids)
     np.testing.assert_array_equal(b_labs, ref_labs)
+
+
+def test_i2v_layout():
+    """i2v dispatch: the reference declares the task
+    (prompting_utils.py:447-450) but its i2v_prompt (:301-310) is an empty
+    stub — this framework completes it as [v2v][soi]img[eoi][sov]vid[eov]
+    with mmu-style label masking over the conditioning prefix."""
+    uni = UniversalPrompting(FakeTokenizer(), max_text_len=8)
+    img = np.arange(8, dtype=np.int64).reshape(2, 4) + 200
+    vid = np.arange(12, dtype=np.int64).reshape(2, 6) + 300
+    labels = np.where(vid % 2 == 0, vid, -100)
+
+    ids, masks, labs = uni((img, vid, labels), "i2v")
+    sp = uni.sptids
+    assert ids.shape == (2, 4 + 6 + 5)
+    row = ids[0]
+    assert row[0] == sp["<|v2v|>"] and row[1] == sp["<|soi|>"]
+    np.testing.assert_array_equal(row[2:6], img[0])
+    assert row[6] == sp["<|eoi|>"] and row[7] == sp["<|sov|>"]
+    np.testing.assert_array_equal(row[8:14], vid[0])
+    assert row[14] == sp["<|eov|>"]
+    # labels: prefix ignored, video labels pass through, eov supervised
+    assert (labs[:, :8] == -100).all()
+    np.testing.assert_array_equal(labs[:, 8:14], labels)
+    assert (labs[:, 14] == sp["<|eov|>"]).all()
+    assert (masks == 1).all()
+
+    # gen form (no labels)
+    g_ids, g_masks = uni((img, vid), "i2v")
+    np.testing.assert_array_equal(g_ids, ids)

@@ -217,3 +217,22 @@ def test_qwen2_forward_streaming_routing():
         got = qwen2_forward(cfg, params, input_ids=ids, attn_meta=meta)
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(dense_out[0]),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_zero_visibility_rows_emit_zero():
+    """A real q row whose every column is masked (pad columns with
+    rows > last_pad) must emit exactly 0, not sum(v)/block_k — the
+    in-kernel p-zeroing keeps l == 0 for rows that never see a visible
+    column even inside a partially-visible k block."""
+    B, H, S, D = 1, 2, 8, 16
+    q, k, v = _qkv(B, H, S, D, seed=7)
+    seg = jnp.zeros((B, S), jnp.int32)
+    pad = jnp.zeros((B, S), jnp.int32).at[:, :2].set(1)
+    last_pad = jnp.full((B,), -1, jnp.int32)   # no row keeps pad visibility
+    prefix = jnp.zeros((B,), jnp.int32)
+    out = omni_attention_streaming(q, k, v, seg, pad, last_pad, prefix,
+                                   block_q=8, block_k=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out[:, :, :2, :]), 0.0)
+    # non-pad rows are normal softmax(QK)V over the visible suffix
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.abs(np.asarray(out[:, :, 2:, :])).max() > 0

@@ -147,3 +147,38 @@ def test_v1_fused_step_pallas_trainable_matches_dense():
     np.testing.assert_allclose(p["loss_lm"], d["loss_lm"], rtol=2e-4)
     np.testing.assert_allclose(p["loss_mmu"], d["loss_mmu"], rtol=2e-4)
     np.testing.assert_allclose(p["grad_norm"], d["grad_norm"], rtol=2e-3)
+
+
+def test_trainer_ema_gated_on_accumulation_boundary():
+    """With gradient_accumulation_steps=k the EMA must update once per
+    OPTIMIZER step (every k micro-steps), not per micro-step — otherwise
+    decay is applied k times per parameter change and the configured decay
+    horizon shrinks by k."""
+    cfg, config = _cfgs()
+    config["training"]["ema"] = {"enabled": True, "decay": 0.5}
+    config["training"]["gradient_accumulation_steps"] = 2
+    uni = UniversalPrompting(FakeTokenizer(), max_text_len=8,
+                             cond_dropout_prob=0.1)
+    params = init_showo_params(cfg, jax.random.PRNGKey(0))
+    vq = MagvitV2(VQ_TINY)
+    vq_params = vq.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, 8, 8, 3)))["params"]
+    trainer = ShowoTrainer(config=config, cfg=cfg, vq_cfg=VQ_TINY,
+                           params=params, vq_params=vq_params,
+                           uni_prompting=uni)
+    rng = np.random.default_rng(0)
+    t2i_batch = {"image": rng.normal(size=(2, 8, 8, 3)).astype(np.float32),
+                 "text": ["a cat", "a dog"]}
+    mmu_batch = {"image": rng.normal(size=(2, 8, 8, 3)).astype(np.float32),
+                 "text": ["describe it", "what is it"]}
+    ema0 = np.asarray(trainer.ema_state.params["showo"]["embed"]).copy()
+    trainer.train_step(t2i_batch, ["lm", "text"], mmu_batch,
+                       jax.random.PRNGKey(0))
+    # micro-step 1 of 2: params unchanged (MultiSteps), EMA must not tick
+    np.testing.assert_array_equal(
+        np.asarray(trainer.ema_state.params["showo"]["embed"]), ema0)
+    assert int(trainer.ema_state.step) == 0
+    trainer.train_step(t2i_batch, ["lm", "text"], mmu_batch,
+                       jax.random.PRNGKey(1))
+    # boundary: optimizer stepped, EMA ticked exactly once
+    assert int(trainer.ema_state.step) == 1
