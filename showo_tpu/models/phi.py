@@ -281,6 +281,28 @@ def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
     if "win" in lp:
         # fully fused parallel-residual layer (see fuse_parallel_mlp)
         y = x @ lp["win"]["kernel"] + lp["win"]["bias"]
+        if (attn_meta is not None and attn_meta[0] == "pallas_fused"
+                and cache_kv is not None and static_prefix):
+            # decode megakernel: qk-LN + rope + cache concat + masked
+            # attention in one Pallas program straight off the win output
+            from showo_tpu.ops.fused_decode import fused_decode_attention
+
+            seg_m, pad_m, lastpad_m, prefix_m = attn_meta[1:]
+            ck, cv = cache_kv                  # [B, P, H, Dh]
+            Pc = ck.shape[1]
+            q_pos = cache_index + jnp.arange(S)
+            attn = fused_decode_attention(
+                y, ck.reshape(B, Pc, D), cv.reshape(B, Pc, D),
+                lp["q_ln"], lp["k_ln"], cos[0], sin[0],
+                seg_m, pad_m, lastpad_m, prefix_m, q_pos,
+                hidden=D, num_heads=H, rotary_dim=cfg.rotary_dim,
+                eps=cfg.layer_norm_eps,
+                softmax_dtype=jnp.float32 if cfg.attn_fp32 else jnp.bfloat16)
+            mlp_pre = y[..., 3 * D:]
+            z = jnp.concatenate(
+                [attn, jax.nn.gelu(mlp_pre, approximate=True)], axis=-1)
+            return (h + z @ lp["wout"]["kernel"] + lp["wout"]["bias"],
+                    (ck, cv))
         qkv, mlp_pre = y[..., :3 * D], y[..., 3 * D:]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, S, H, Dh)

@@ -40,7 +40,7 @@ def make_mesh(dp: Optional[int] = None, fsdp: int = 1, tp: int = 1,
 _DEFAULT_RULES: Sequence[tuple] = (
     # stacked transformer layers (phi/qwen2/dit/siglip): [L, in, out];
     # win/wout are the fuse_parallel_mlp fused kernels (models/phi.py)
-    (r"layers/(q|k|v|qkv|fc1|gate|up|win)/kernel$",
+    (r"layers/(q|k|v|qkv|fc1|gate|up|gu|win)/kernel$",
      P(None, None, ("fsdp", "tp"))),
     (r"layers/(dense|o|out|fc2|down|wout)/kernel$",
      P(None, ("fsdp", "tp"), None)),

@@ -38,9 +38,14 @@ class T2IV2Pipeline:
     max_text_len: int = 256
     attn_impl: str = "auto"   # packed Pallas kernel at v2 sequence lengths
     sampling_method: str = "euler"  # euler | heun | dpm-solver | dopri5
+    fuse_weights: bool = True  # qkv + gate/up wide-matmul fusions
 
     def __post_init__(self):
         cfg = self.cfg
+        if self.fuse_weights:
+            from showo_tpu.show_o2.showo2 import fuse_inference
+
+            self.params = fuse_inference(self.params)
         impl = self.attn_impl
         if impl == "auto":
             impl = ("pallas_packed" if cfg.num_image_tokens >= 512 else

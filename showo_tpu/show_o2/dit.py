@@ -147,6 +147,35 @@ def init_dit_params(cfg: DiffusionHeadConfig, key, dtype=jnp.float32):
     }
 
 
+def fuse_qkv(params):
+    """Concatenate the DiT q/k/v kernels (no biases) into one wide matmul
+    — numerically identical (the v2 analog of models/phi.py:184-200)."""
+    L = dict(params["layers"])
+    if "qkv" in L:
+        return params
+    L["qkv"] = {"kernel": jnp.concatenate(
+        [L["q"]["kernel"], L["k"]["kernel"], L["v"]["kernel"]], axis=-1)}
+    for name in ("q", "k", "v"):
+        del L[name]
+    return dict(params, layers=L)
+
+
+def fuse_gate_up(params):
+    """Concatenate SwiGLU gate/up kernels into one [D, 2F] matmul."""
+    L = dict(params["layers"])
+    if "gu" in L:
+        return params
+    L["gu"] = {"kernel": jnp.concatenate(
+        [L["gate"]["kernel"], L["up"]["kernel"]], axis=-1)}
+    for name in ("gate", "up"):
+        del L[name]
+    return dict(params, layers=L)
+
+
+def fuse_inference(params):
+    return fuse_gate_up(fuse_qkv(params))
+
+
 def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
                modality_positions, attn_meta=None, attn_impl=None):
     """One ModulatedAttentionBlock (modules.py:131-218)."""
@@ -166,9 +195,15 @@ def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
     x = modulate(rms_norm(h, lp["input_ln"]["scale"], cfg.rms_norm_eps),
                  shift_msa, scale_msa)
 
-    q = (x @ lp["q"]["kernel"]).reshape(B, S, H, Dh)
-    k = (x @ lp["k"]["kernel"]).reshape(B, S, Hkv, Dh)
-    v = (x @ lp["v"]["kernel"]).reshape(B, S, Hkv, Dh)
+    if "qkv" in lp:
+        qkv = x @ lp["qkv"]["kernel"]
+        q = qkv[..., :H * Dh].reshape(B, S, H, Dh)
+        k = qkv[..., H * Dh:(H + Hkv) * Dh].reshape(B, S, Hkv, Dh)
+        v = qkv[..., (H + Hkv) * Dh:].reshape(B, S, Hkv, Dh)
+    else:
+        q = (x @ lp["q"]["kernel"]).reshape(B, S, H, Dh)
+        k = (x @ lp["k"]["kernel"]).reshape(B, S, Hkv, Dh)
+        v = (x @ lp["v"]["kernel"]).reshape(B, S, Hkv, Dh)
     if cfg.qk_norm:
         q = rms_norm(q, lp["q_norm"]["scale"], 1e-6)
         k = rms_norm(k, lp["k_norm"]["scale"], 1e-6)
@@ -218,8 +253,13 @@ def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
 
     x2 = modulate(rms_norm(h, lp["post_ln"]["scale"], cfg.rms_norm_eps),
                   shift_mlp, scale_mlp)
-    mlp = (jax.nn.silu(x2 @ lp["gate"]["kernel"]) * (x2 @ lp["up"]["kernel"])) \
-        @ lp["down"]["kernel"]
+    if "gu" in lp:
+        F = lp["down"]["kernel"].shape[-2]
+        gu = x2 @ lp["gu"]["kernel"]
+        mlp = (jax.nn.silu(gu[..., :F]) * gu[..., F:]) @ lp["down"]["kernel"]
+    else:
+        mlp = (jax.nn.silu(x2 @ lp["gate"]["kernel"])
+               * (x2 @ lp["up"]["kernel"])) @ lp["down"]["kernel"]
     return h + gate_mlp * mlp
 
 

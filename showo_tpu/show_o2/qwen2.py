@@ -106,15 +106,67 @@ def init_qwen2_params(cfg: Qwen2Config, key, dtype=jnp.float32) -> Dict[str, Any
     return params
 
 
+def fuse_qkv(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Concatenate q/k/v projections into one [D, (H+2Hkv)*Dh] kernel —
+    numerically identical, one wide MXU matmul instead of three narrow
+    ones (the Qwen2 analog of models/phi.py fuse_qkv; k/v are only
+    2 heads x 128 = 256 cols each, pathologically narrow alone)."""
+    L = dict(params["layers"])
+    if "qkv" in L:
+        return params
+    L["qkv"] = {
+        "kernel": jnp.concatenate([L["q"]["kernel"], L["k"]["kernel"],
+                                   L["v"]["kernel"]], axis=-1),
+        "bias": jnp.concatenate([L["q"]["bias"], L["k"]["bias"],
+                                 L["v"]["bias"]], axis=-1),
+    }
+    for name in ("q", "k", "v"):
+        del L[name]
+    return dict(params, layers=L)
+
+
+def fuse_gate_up(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Concatenate the SwiGLU gate and up projections into one [D, 2F]
+    kernel (both consume the same post-ln input)."""
+    L = dict(params["layers"])
+    if "gu" in L:
+        return params
+    L["gu"] = {"kernel": jnp.concatenate([L["gate"]["kernel"],
+                                          L["up"]["kernel"]], axis=-1)}
+    for name in ("gate", "up"):
+        del L[name]
+    return dict(params, layers=L)
+
+
+def fuse_inference(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Both inference-path weight fusions (idempotent)."""
+    return fuse_gate_up(fuse_qkv(params))
+
+
+def _mlp(cfg: Qwen2Config, lp, x2):
+    if "gu" in lp:
+        F = cfg.intermediate_size
+        gu = x2 @ lp["gu"]["kernel"]
+        return (jax.nn.silu(gu[..., :F]) * gu[..., F:]) @ lp["down"]["kernel"]
+    return (jax.nn.silu(x2 @ lp["gate"]["kernel"]) * (x2 @ lp["up"]["kernel"])) \
+        @ lp["down"]["kernel"]
+
+
 def _layer(cfg: Qwen2Config, lp, h, bias, cos, sin, cache_kv=None,
            cache_index=None, attn_meta=None, attn_impl=None):
     B, S, D = h.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     x = rms_norm(h, lp["input_ln"]["scale"], cfg.rms_norm_eps)
-    q = (x @ lp["q"]["kernel"] + lp["q"]["bias"]).reshape(B, S, H, Dh)
-    k = (x @ lp["k"]["kernel"] + lp["k"]["bias"]).reshape(B, S, Hkv, Dh)
-    v = (x @ lp["v"]["kernel"] + lp["v"]["bias"]).reshape(B, S, Hkv, Dh)
+    if "qkv" in lp:
+        qkv = x @ lp["qkv"]["kernel"] + lp["qkv"]["bias"]
+        q = qkv[..., :H * Dh].reshape(B, S, H, Dh)
+        k = qkv[..., H * Dh:(H + Hkv) * Dh].reshape(B, S, Hkv, Dh)
+        v = qkv[..., (H + Hkv) * Dh:].reshape(B, S, Hkv, Dh)
+    else:
+        q = (x @ lp["q"]["kernel"] + lp["q"]["bias"]).reshape(B, S, H, Dh)
+        k = (x @ lp["k"]["kernel"] + lp["k"]["bias"]).reshape(B, S, Hkv, Dh)
+        v = (x @ lp["v"]["kernel"] + lp["v"]["bias"]).reshape(B, S, Hkv, Dh)
     q, k = apply_rope_full(q, k, cos, sin)
 
     if cache_kv is not None:
@@ -171,9 +223,7 @@ def _layer(cfg: Qwen2Config, lp, h, bias, cos, sin, cache_kv=None,
         attn = attn @ lp["o"]["kernel"]
         h = h + attn
         x2 = rms_norm(h, lp["post_ln"]["scale"], cfg.rms_norm_eps)
-        mlp = (jax.nn.silu(x2 @ lp["gate"]["kernel"]) * (x2 @ lp["up"]["kernel"])) \
-            @ lp["down"]["kernel"]
-        return h + mlp, new_kv
+        return h + _mlp(cfg, lp, x2), new_kv
 
     # GQA: fold kv-head groups into the einsum instead of materializing
     # repeat_kv (reference qwen2.py repeats to H heads)
@@ -190,9 +240,7 @@ def _layer(cfg: Qwen2Config, lp, h, bias, cos, sin, cache_kv=None,
 
     h = h + attn
     x2 = rms_norm(h, lp["post_ln"]["scale"], cfg.rms_norm_eps)
-    mlp = (jax.nn.silu(x2 @ lp["gate"]["kernel"]) * (x2 @ lp["up"]["kernel"])) \
-        @ lp["down"]["kernel"]
-    return h + mlp, new_kv
+    return h + _mlp(cfg, lp, x2), new_kv
 
 
 def qwen2_forward(

@@ -101,6 +101,20 @@ def init_showo2_params(cfg: Showo2Config, key, dtype=jnp.float32) -> Dict[str, A
     return params
 
 
+def fuse_inference(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Inference weight fusions for the whole Showo2 model: Qwen2 qkv +
+    gate/up and DiT qkv + gate/up collapse into wide matmuls (numerically
+    identical; the v2 analog of the v1 fuse_parallel_mlp pass, VERDICT r2
+    item 2).  Idempotent."""
+    from showo_tpu.show_o2 import dit as _dit
+    from showo_tpu.show_o2 import qwen2 as _qwen2
+
+    out = dict(params)
+    out["showo"] = _qwen2.fuse_inference(params["showo"])
+    out["diffusion_head_a"] = _dit.fuse_inference(params["diffusion_head_a"])
+    return out
+
+
 def _rms_norm_affine(x, scale, eps=1e-6):
     dt = x.dtype
     x32 = x.astype(jnp.float32)

@@ -58,3 +58,23 @@ def test_dit_stack_parity(golden):
                           jnp.asarray(golden["modality_positions"]))
     np.testing.assert_allclose(np.asarray(v), golden["v_out"], atol=5e-5,
                                rtol=1e-4)
+
+
+def test_dit_fused_inference_parity(golden):
+    """fuse_qkv + fuse_gate_up on the DiT head are numerically identical
+    (VERDICT r2 item 2: the v2 analog of models/phi.py:184-232)."""
+    from showo_tpu.show_o2.dit import fuse_inference
+
+    sd = {k[3:]: golden[k] for k in golden.files if k.startswith("w::")}
+    params = jax.tree.map(jnp.asarray, dit_params_from_torch(sd, 2, "blocks."))
+    bias = to_additive(jnp.asarray(golden["mask"]))
+    h = dit_forward(TINY, params, jnp.asarray(golden["x"]),
+                    jnp.asarray(golden["adaln"]), bias,
+                    jnp.asarray(golden["modality_positions"]))
+    fused = fuse_inference(params)
+    assert "qkv" in fused["layers"] and "gu" in fused["layers"]
+    h_f = dit_forward(TINY, fused, jnp.asarray(golden["x"]),
+                      jnp.asarray(golden["adaln"]), bias,
+                      jnp.asarray(golden["modality_positions"]))
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h), atol=2e-5,
+                               rtol=2e-5)

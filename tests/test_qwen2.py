@@ -84,3 +84,48 @@ def test_init_forward():
     logits, h, _ = qwen2_forward(cfg, params,
                                  input_ids=jnp.zeros((1, 8), jnp.int32))
     assert logits.shape == (1, 8, 64) and h.shape == (1, 8, 32)
+
+
+def test_fused_inference_weights_match(golden, params):
+    """fuse_qkv + fuse_gate_up are numerically identical transforms
+    (the Qwen2 analog of models/phi.py:184-232, VERDICT r2 item 2)."""
+    from showo_tpu.show_o2.qwen2 import fuse_inference
+
+    ids = jnp.asarray(golden["ids"])
+    bias = to_additive(jnp.asarray(golden["mask"]))
+    logits, hidden, _ = qwen2_forward(TINY, params, input_ids=ids,
+                                      attention_bias=bias)
+    fused = fuse_inference(params)
+    assert "qkv" in fused["layers"] and "gu" in fused["layers"]
+    assert "q" not in fused["layers"] and "gate" not in fused["layers"]
+    logits_f, hidden_f, _ = qwen2_forward(TINY, fused, input_ids=ids,
+                                          attention_bias=bias)
+    np.testing.assert_allclose(np.asarray(logits_f), np.asarray(logits),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(hidden_f), np.asarray(hidden),
+                               rtol=2e-5, atol=2e-5)
+    # idempotent
+    assert fuse_inference(fused) is not None
+
+
+def test_fused_kv_cache_decode(golden, params):
+    """Fused weights + KV-cache decode == unfused full forward."""
+    from showo_tpu.show_o2.qwen2 import fuse_inference
+
+    ids = jnp.asarray(golden["ids"])
+    B, S = ids.shape
+    bias = to_additive(jnp.asarray(golden["mask"]))
+    logits, _, _ = qwen2_forward(TINY, params, input_ids=ids,
+                                 attention_bias=bias)
+    fused = fuse_inference(params)
+    cache = Qwen2KVCache.zeros(TINY, B, S)
+    pre_bias = jnp.where(jnp.arange(S)[None, None, None, :] < S - 1,
+                         bias[:, :, :S - 1, :], -1e9)
+    _, _, cache = qwen2_forward(TINY, fused, input_ids=ids[:, :S - 1],
+                                attention_bias=pre_bias, cache=cache)
+    step_bias = bias[:, :, S - 1:, :]
+    lg, _, _ = qwen2_forward(TINY, fused, input_ids=ids[:, S - 1:],
+                             attention_bias=step_bias, cache=cache)
+    np.testing.assert_allclose(np.asarray(lg[:, 0]),
+                               np.asarray(logits[:, -1]),
+                               rtol=2e-4, atol=2e-4)
