@@ -73,6 +73,96 @@ def bench_mmu(args) -> None:
                       "vs_baseline": None}))
 
 
+def bench_mmu_v2(args) -> None:
+    """Show-o2 1.5B AR decode tok/s with KV cache (VERDICT r2 item 2:
+    the v2 analog of metric=mmu).  Random image latents through the
+    dual-path embedder, qwen chat scaffold, jitted prefill + decode scan."""
+    import numpy as np
+
+    from showo_tpu.sampling.ar import ar_generate
+    from showo_tpu.show_o2.dit import time_embed_apply
+    from showo_tpu.show_o2.masks import omni_attn_mask
+    from showo_tpu.show_o2.qwen2 import Qwen2KVCache, qwen2_forward
+    from showo_tpu.show_o2.showo2 import (Showo2Config, embed_images,
+                                          fuse_inference,
+                                          init_showo2_params)
+
+    B = int(args.get("batch", 1))
+    max_new = int(args.get("max_new_tokens", 128))
+    cfg = Showo2Config()
+    unroll = int(args.get("unroll", 28))
+    if unroll > 1:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, scan_unroll=unroll))
+    params = jax.jit(lambda k: init_showo2_params(cfg, k, jnp.bfloat16))(
+        jax.random.PRNGKey(0))
+    if args.get("fused", "1") != "0":
+        params = fuse_inference(params)
+
+    n_img = cfg.num_image_tokens
+    latents = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (B, cfg.image_latent_dim, cfg.image_latent_height,
+         cfg.image_latent_width), jnp.bfloat16)
+    pre = jax.random.randint(jax.random.PRNGKey(2), (B, 24), 10, 150000)
+    post = jax.random.randint(jax.random.PRNGKey(3), (B, 12), 10, 150000)
+    llm = cfg.llm
+
+    @jax.jit
+    def gen(params, latents, pre, post, key):
+        image_embeds = embed_images(cfg, params, latents)
+        embed = params["showo"]["embed"]
+        emb_a, emb_b = embed[pre], embed[post]
+        t1 = jnp.ones((B,), jnp.float32)
+        te = time_embed_apply(params["time_embed"], t1, emb_a.dtype)
+        if "time_embed_proj" in params:
+            tp = params["time_embed_proj"]
+            te = te @ tp["kernel"] + tp["bias"]
+        input_embeds = jnp.concatenate(
+            [emb_a, te[:, None, :], image_embeds, emb_b], axis=1)
+        S = input_embeds.shape[1]
+        mp = jnp.broadcast_to(
+            jnp.asarray([[pre.shape[1], n_img]], jnp.int32)[None],
+            (B, 1, 2))
+        bias = omni_attn_mask(mp.reshape(B, 1, 2), S)
+        cap = S + max_new
+
+        def prefill(_ids, pb):
+            cache = Qwen2KVCache.zeros(llm, B, cap, dtype=embed.dtype)
+            pad = cap - pb.shape[-1]
+            pb = jnp.pad(pb, ((0, 0), (0, 0), (0, 0), (0, pad)),
+                         constant_values=-1e9)
+            logits, _, cache = qwen2_forward(
+                llm, params["showo"], input_embeds=input_embeds,
+                attention_bias=pb, cache=cache)
+            return logits, cache
+
+        def decode(tok_ids, b, cache):
+            logits, _, cache = qwen2_forward(
+                llm, params["showo"], input_embeds=embed[tok_ids],
+                attention_bias=b, cache=cache)
+            return logits, cache
+
+        toks, _ = ar_generate(prefill, decode,
+                              jnp.zeros((B, S), jnp.int32), key,
+                              max_new_tokens=max_new, top_k=1,
+                              prompt_bias=bias)
+        return toks
+
+    np.asarray(gen(params, latents, pre, post, jax.random.PRNGKey(4)))
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = gen(params, latents, pre, post, jax.random.PRNGKey(5 + i))
+    np.asarray(out)
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({"metric": "showo2_mmu_decode_tok_per_s_kv_cache",
+                      "value": round(B * max_new / dt, 2), "unit": "tok/s",
+                      "vs_baseline": None}))
+
+
 def bench_vq(args) -> None:
     """MAGVIT-v2 VQ encode (or mode=decode) megapixels/s."""
     import numpy as np
@@ -231,7 +321,9 @@ def bench_train(args) -> None:
 
     cfg = ShowoConfig()
     vq_cfg = VQConfig()
-    tc = TrainConfig(max_seq_length=128)
+    tc = TrainConfig(max_seq_length=128,
+                     attn_impl=args.get("attn_impl", "dense"),
+                     remat=args.get("remat", "full"))
     sp = {"<|pad|>": 50295, "<|soi|>": 50296, "<|eoi|>": 50297,
           "<|mmu|>": 50300}
     opt = make_optimizer(tc)
@@ -280,16 +372,31 @@ def bench_train(args) -> None:
     float(m["loss"])
     dt = (time.perf_counter() - t0) / iters
     n = b_t2i + b_lm + b_mmu
+    # %-of-ceiling: fwd+bwd matmul FLOPs ~= 6 x matmul-params x tokens
+    # (VERDICT r2 item 4: publish the floor ratio like decode has one);
+    # ceiling = 277 TFLOP/s sustained bf16 (tools/probe_int8_matmul.py)
+    D, F, Lyr = (cfg.llm.hidden_size, cfg.llm.intermediate_size,
+                 cfg.llm.num_layers)
+    matmul_params = Lyr * (4 * D * D + 2 * D * F) + D * cfg.vocab_size
+    S_tok = L_text + cfg.num_vq_tokens + 2
+    tokens = n * S_tok
+    tflops_step = 6 * matmul_params * tokens / 1e12
+    pct = tflops_step / dt / 277.0 * 100
     print(json.dumps({
         "metric": f"train_samples_per_sec_per_chip_{res}px",
         "value": round(n / dt, 2), "unit": "samples/s/chip",
-        "vs_baseline": None}))
+        "vs_baseline": None,
+        "model_tflops_per_s": round(tflops_step / dt, 1),
+        "pct_of_277tflops_ceiling": round(pct, 1),
+        "attn_impl": tc.attn_impl, "remat": tc.remat}))
 
 
 def main() -> None:
     args = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
     if args.get("metric") == "train":
         return bench_train(args)
+    if args.get("metric") == "mmu_v2":
+        return bench_mmu_v2(args)
     if args.get("metric") == "mmu":
         return bench_mmu(args)
     if args.get("metric") == "vq":

@@ -444,8 +444,17 @@ def phi_forward(
         base_layer = _ft.partial(base_layer, static_prefix=True)
     if attn_impl is not None:
         base_layer = _ft.partial(base_layer, attn_impl=attn_impl)
-    layer_fn = (jax.checkpoint(base_layer, static_argnums=(0,))
-                if remat else base_layer)
+    # remat: False/"none" = no rematerialization; True/"full" = recompute
+    # the whole layer on backward; "dots" = save matmul outputs and
+    # recompute only norms/elementwise (less recompute, more memory)
+    if remat in (False, "none", None):
+        layer_fn = base_layer
+    elif remat == "dots":
+        layer_fn = jax.checkpoint(
+            base_layer, static_argnums=(0,),
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    else:
+        layer_fn = jax.checkpoint(base_layer, static_argnums=(0,))
 
     if cache is not None and static_prefix_len is not None:
         # decode against a constant prefix (no cache writes; see _layer).

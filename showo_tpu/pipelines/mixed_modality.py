@@ -38,6 +38,13 @@ class MixedModalityPipeline:
     max_new_tokens: int = 60
     top_k: Optional[int] = 5
     top_p: Optional[float] = None
+    fuse_weights: bool = True  # qkv + gate/up wide-matmul fusions
+
+    def __post_init__(self):
+        if self.fuse_weights:
+            from showo_tpu.show_o2.showo2 import fuse_inference
+
+            self.params = fuse_inference(self.params)
 
     def _tok(self, text: str) -> List[int]:
         ids = self.tokenizer(text, add_special_tokens=False)["input_ids"]

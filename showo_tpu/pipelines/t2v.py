@@ -36,6 +36,13 @@ class T2VPipeline:
     num_steps: int = 50
     time_shifting_factor: float = 3.0
     max_text_len: int = 256
+    fuse_weights: bool = True  # qkv + gate/up wide-matmul fusions
+
+    def __post_init__(self):
+        if self.fuse_weights:
+            from showo_tpu.show_o2.showo2 import fuse_inference
+
+            self.params = fuse_inference(self.params)
 
     @property
     def num_video_tokens(self) -> int:

@@ -229,6 +229,17 @@ def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
             attn = omni_attention_trainable(
                 jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
                 jnp.swapaxes(v, 1, 2), seg, pad, last_pad, prefix)
+            attn = jnp.swapaxes(attn, 1, 2).reshape(B, S, H * Dh)
+        elif impl == "pallas_packed":
+            # inference: packed kernel keeps the [B,H,S,S] fp32 scores in
+            # VMEM per q-block instead of HBM (the DiT head has H=32 —
+            # 250 MB/layer of score traffic on the dense path at S=986)
+            from showo_tpu.ops.flash_attention import omni_attention_packed
+
+            attn = omni_attention_packed(
+                q.reshape(B, S, H * Dh), k.reshape(B, S, Hkv * Dh),
+                v.reshape(B, S, Hkv * Dh), seg, pad, last_pad, prefix,
+                num_heads=H, num_kv_heads=Hkv)
         else:
             from showo_tpu.ops.streaming_attention import \
                 omni_attention_streaming
@@ -236,12 +247,13 @@ def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
             attn = omni_attention_streaming(
                 jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
                 jnp.swapaxes(v, 1, 2), seg, pad, last_pad, prefix)
-        attn = jnp.swapaxes(attn, 1, 2).reshape(B, S, H * Dh)
+            attn = jnp.swapaxes(attn, 1, 2).reshape(B, S, H * Dh)
     else:
         G = H // Hkv
         qg = q.reshape(B, S, Hkv, G, Dh)
-        scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg.astype(jnp.float32),
-                            k.astype(jnp.float32),
+        # bf16 operands + fp32 accumulator: bit-identical to the fp32
+        # upcast, no fp32 operand materialization (see qwen2._layer)
+        scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k,
                             preferred_element_type=jnp.float32) / math.sqrt(Dh)
         if bias is not None:
             scores = scores + bias[:, :, None].astype(jnp.float32)

@@ -226,11 +226,14 @@ def _layer(cfg: Qwen2Config, lp, h, bias, cos, sin, cache_kv=None,
         return h + _mlp(cfg, lp, x2), new_kv
 
     # GQA: fold kv-head groups into the einsum instead of materializing
-    # repeat_kv (reference qwen2.py repeats to H heads)
+    # repeat_kv (reference qwen2.py repeats to H heads).  Operands stay in
+    # their storage dtype: the MXU multiplies bf16 inputs exactly into the
+    # fp32 accumulator, bit-identical to the reference's fp32 upcast
+    # without the fp32 operand materialization + fp32-rate MXU pass (the
+    # round-2 v1 finding, models/phi.py; 2.2x at decode shapes)
     G = H // Hkv
     qg = q.reshape(B, S, Hkv, G, Dh)
-    scores = jnp.einsum("bqhgd,bkhd->bhgqk",
-                        qg.astype(jnp.float32), k_att.astype(jnp.float32),
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k_att,
                         preferred_element_type=jnp.float32) / math.sqrt(Dh)
     if bias is not None:
         scores = scores + bias[:, :, None].astype(jnp.float32)

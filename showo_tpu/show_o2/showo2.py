@@ -269,12 +269,14 @@ def showo2_forward(
         h = h @ dp["fc2"]["kernel"] + dp["fc2"]["bias"]
     else:
         h = last_hidden
-    # the DiT head shares the omni mask; route the long-seq kernels into
-    # it too ("pallas_packed" stays qwen-only: inference at shipped
-    # lengths measured faster with the dense dit path)
+    # the DiT head shares the omni mask; route the Pallas kernels into it
+    # too.  "pallas_packed" (inference) was dense-only in r1/r2 — at
+    # S=986 with H=32 the dense path moves ~250 MB/layer of fp32 scores
+    # through HBM, so the packed kernel now routes into the head as well
     dit_meta = (attn_meta if attn_meta is not None
                 and isinstance(attn_meta[0], str)
-                and attn_meta[0] in ("pallas_trainable", "pallas_streaming")
+                and attn_meta[0] in ("pallas_trainable", "pallas_streaming",
+                                     "pallas_packed")
                 else None)
     h = dit_forward(cfg.dit, params["diffusion_head_a"], h, time_embeds,
                     attention_bias, modality_positions, remat=remat,

@@ -69,8 +69,9 @@ def _layer(cfg: SigLipConfig, lp, h):
     q = (x @ lp["q"]["kernel"] + lp["q"]["bias"]).reshape(B, S, H, Dh)
     k = (x @ lp["k"]["kernel"] + lp["k"]["bias"]).reshape(B, S, H, Dh)
     v = (x @ lp["v"]["kernel"] + lp["v"]["bias"]).reshape(B, S, H, Dh)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
-                        k.astype(jnp.float32),
+    # bf16 operands + fp32 accumulator: bit-identical to the fp32 upcast
+    # without the fp32 operand materialization (see qwen2._layer)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) / math.sqrt(Dh)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, S, D)

@@ -168,7 +168,8 @@ def make_fused_train_step(cfg: ShowoConfig, vq_cfg: VQConfig, tc: TrainConfig,
             _, l_t2i, l_lm, l_mmu = showo_losses(
                 cfg, params, input_ids, labels, bias,
                 batch_size_t2i, batch_size_lm, batch_size_mmu,
-                max_seq_length=tc.max_seq_length, attn_meta=attn_meta)
+                max_seq_length=tc.max_seq_length, attn_meta=attn_meta,
+                remat=tc.remat)
             total = (tc.t2i_coeff * l_t2i + tc.lm_coeff * l_lm
                      + tc.mmu_coeff * l_mmu)
             return total, (l_t2i, l_lm, l_mmu)
@@ -215,6 +216,7 @@ class ShowoTrainer:
             max_seq_length=c.dataset.preprocessing.max_seq_length,
             grad_accum_steps=int(tr.get("gradient_accumulation_steps", 1)),
             attn_impl=str(tr.get("attn_impl", "dense")),
+            remat=str(tr.get("remat", "full")),
         )
         from showo_tpu.training.lr_schedules import get_lr_schedule
 

@@ -37,6 +37,13 @@ class TrainConfig:
     # the transient fp32 [B,H,S,S] score tensors in fwd/bwd (the lever
     # for 512px training, S=1155)
     attn_impl: str = "dense"
+    # rematerialization policy for the layer stack:
+    #   "full" — jax.checkpoint per layer, recompute everything (lowest
+    #            memory, the r1/r2 default);
+    #   "dots" — save matmul outputs, recompute norms/elementwise
+    #            (jax.checkpoint_policies.dots_with_no_batch_dims_saveable);
+    #   "none" — no remat (fastest when activations fit HBM)
+    remat: str = "full"
 
 
 def with_grad_accum(optimizer: optax.GradientTransformation,

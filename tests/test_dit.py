@@ -78,3 +78,41 @@ def test_dit_fused_inference_parity(golden):
                       jnp.asarray(golden["modality_positions"]))
     np.testing.assert_allclose(np.asarray(h_f), np.asarray(h), atol=2e-5,
                                rtol=2e-5)
+
+
+def test_dit_packed_kernel_routing_parity(golden):
+    """attn_meta=pallas_packed routes the DiT head through the packed
+    omni kernel (interpret mode) — must match the dense path."""
+    from unittest import mock
+
+    from showo_tpu.ops import flash_attention as fa
+    from showo_tpu.ops.flash_attention import seg_from_modality_positions
+    from showo_tpu.utils.torch_import import dit_params_from_torch
+
+    sd = {k[3:]: golden[k] for k in golden.files if k.startswith("w::")}
+    params = jax.tree.map(jnp.asarray, dit_params_from_torch(sd, 2, "blocks."))
+    bias = to_additive(jnp.asarray(golden["mask"]))
+    mp = jnp.asarray(golden["modality_positions"])
+    x = jnp.asarray(golden["x"])
+    B, L = x.shape[0], x.shape[1]
+    dense = dit_forward(TINY, params, x, jnp.asarray(golden["adaln"]), bias,
+                        mp)
+
+    seg = seg_from_modality_positions(mp, L)
+    pad = jnp.zeros((B, L), jnp.int32)
+    last_pad = jnp.full((B,), -1, jnp.int32)
+    prefix = jnp.zeros((B,), jnp.int32)
+    orig = fa.omni_attention_packed
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        kw.setdefault("block_q", 8)
+        return orig(*args, **kw)
+
+    with mock.patch.object(fa, "omni_attention_packed", interp):
+        packed = dit_forward(TINY, params, x, jnp.asarray(golden["adaln"]),
+                             None, mp,
+                             attn_meta=("pallas_packed", seg, pad, last_pad,
+                                        prefix))
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(dense),
+                               atol=2e-5, rtol=2e-5)

@@ -1,0 +1,49 @@
+#!/usr/bin/env bash
+# One-command real-checkpoint verification (VERDICT r2 item 7).
+#
+# This build environment has NO network egress, so the released
+# checkpoints cannot land here and tests/test_real_weights_e2e.py skips.
+# On any host WITH egress + this repo + a TPU/CPU, this script makes the
+# claim "reference-exact at fp32" one command away from proven:
+#
+#     bash tools/run_real_weights.sh
+#
+# It downloads every released checkpoint the importers support
+# (reference README.md:159-201, show-o2/README.md:94-134), then runs the
+# weights-gated e2e tests: MAGVIT roundtrip PSNR on a natural image,
+# show-o t2i sanity, Wan-VAE roundtrip (BASELINE.md configs 1/4).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+W="${SHOWO_WEIGHTS_DIR:-weights}"
+mkdir -p "$W"
+
+dl() {  # dl <hf-repo> <file> <dest-dir>
+    local dest="$W/$3"
+    mkdir -p "$dest"
+    if [ ! -e "$dest/$2" ]; then
+        python - "$1" "$2" "$dest" <<'EOF'
+import sys
+from huggingface_hub import hf_hub_download
+repo, fname, dest = sys.argv[1:4]
+hf_hub_download(repo_id=repo, filename=fname, local_dir=dest)
+print("ok", repo, fname)
+EOF
+    fi
+}
+
+dl showlab/magvitv2 pytorch_model.bin magvitv2
+dl showlab/show-o pytorch_model.bin show-o
+dl showlab/show-o2-1.5B pytorch_model.bin show-o2-1.5B || \
+    echo "show-o2-1.5B may be sharded; fall back to snapshot_download"
+# Wan2.1 3D causal VAE (show-o2/README.md:94-97)
+if [ ! -e "$W/Wan2.1_VAE.pth" ]; then
+    python - "$W" <<'EOF'
+import sys
+from huggingface_hub import hf_hub_download
+hf_hub_download(repo_id="Wan-AI/Wan2.1-T2V-14B", filename="Wan2.1_VAE.pth",
+                local_dir=sys.argv[1])
+EOF
+fi
+
+SHOWO_WEIGHTS_DIR="$W" python -m pytest tests/test_real_weights_e2e.py -v -rs
