@@ -238,7 +238,9 @@ def omni_attention_packed(q, k, v, seg, pad=None, last_pad=None, prefix=None,
                           q_positions=None):
     """q: [B, Q, H*D]; k, v: [B, S, Hkv*D] (GQA supported).  Same
     predicate semantics as :func:`omni_attention` but in the packed
-    projection layout (no transposes in HBM)."""
+    projection layout (no transposes in HBM).  q_positions may be [Q]
+    (shared) or [B, Q] (per-row kv positions — the v2 cached-window
+    path where modality offsets vary per batch row)."""
     B, Q, HD = q.shape
     S = k.shape[1]
     D = HD // num_heads
@@ -249,12 +251,13 @@ def omni_attention_packed(q, k, v, seg, pad=None, last_pad=None, prefix=None,
     if q_positions is None:
         assert Q == S
         q_positions = jnp.arange(S)
+    q_positions = jnp.broadcast_to(jnp.atleast_2d(q_positions), (B, Q))
 
     Sp = ((S + block_q - 1) // block_q) * block_q
     Qp = ((Q + block_q - 1) // block_q) * block_q
     if Qp != Q:
         q = jnp.pad(q, ((0, 0), (0, Qp - Q), (0, 0)))
-        q_positions = jnp.pad(q_positions, (0, Qp - Q))
+        q_positions = jnp.pad(q_positions, ((0, 0), (0, Qp - Q)))
     if Sp != S:
         k = jnp.pad(k, ((0, 0), (0, Sp - S), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, Sp - S), (0, 0)))
@@ -270,8 +273,8 @@ def omni_attention_packed(q, k, v, seg, pad=None, last_pad=None, prefix=None,
 
     seg_q = jnp.take_along_axis(
         jnp.pad(seg, ((0, 0), (0, 1))),
-        jnp.clip(q_positions, 0, Sp)[None, :].repeat(B, 0), axis=1)
-    pos_q = jnp.broadcast_to(q_positions[None, None, :], (1, 1, Qp))
+        jnp.clip(q_positions, 0, Sp), axis=1)
+    pos_q = q_positions[:, None, :]                    # [B, 1, Qp]
 
     grid = (B, Qp // block_q)
     KVD = num_kv_heads * D
@@ -289,7 +292,7 @@ def omni_attention_packed(q, k, v, seg, pad=None, last_pad=None, prefix=None,
             pl.BlockSpec((1, 1, Sp), lambda b, i, *_: (b, 0, 0)),
             pl.BlockSpec((1, 1, Sp), lambda b, i, *_: (b, 0, 0)),
             pl.BlockSpec((1, 1, block_q), lambda b, i, *_: (b, 0, i)),
-            pl.BlockSpec((1, 1, block_q), lambda b, i, *_: (0, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, *_: (b, 0, i)),
         ],
         out_specs=pl.BlockSpec((1, block_q, HD), lambda b, i, *_: (b, i, 0)),
     )

@@ -39,6 +39,12 @@ class T2IV2Pipeline:
     attn_impl: str = "auto"   # packed Pallas kernel at v2 sequence lengths
     sampling_method: str = "euler"  # euler | heun | dpm-solver | dopri5
     fuse_weights: bool = True  # qkv + gate/up wide-matmul fusions
+    # prefix-KV caching: the text rows' K/V are constant across euler
+    # steps in BOTH towers (they never attend into the image span), so
+    # they are prefilled once and every step re-forwards only the span
+    # rows — bit-identical outputs (tests/test_t2i_v2_cached.py), the v2
+    # analog of the v1 cached MaskGIT
+    prefix_cache: bool = True
 
     def __post_init__(self):
         cfg = self.cfg
@@ -70,10 +76,32 @@ class T2IV2Pipeline:
                              jnp.full((B,), -1, jnp.int32),
                              jnp.zeros((B,), jnp.int32))
 
-            def drift(x, t):
-                return showo2_t2i_velocity(
-                    cfg, params, text_tokens, x, t, bias, modality_positions,
-                    guidance_scale=self.guidance_scale, attn_meta=attn_meta)
+            if self.prefix_cache:
+                from showo_tpu.show_o2.showo2 import (
+                    showo2_t2i_prefill, showo2_t2i_velocity_cached)
+
+                qwen_kv, dit_kv = showo2_t2i_prefill(
+                    cfg, params, text_tokens, bias, modality_positions,
+                    attn_meta=attn_meta)
+                n = cfg.num_image_tokens
+                offs = modality_positions[:, 0, 0]
+                idx = offs[:, None] + jnp.arange(n)
+                bias_fresh = (None if bias is None else jnp.take_along_axis(
+                    bias, idx[:, None, :, None], axis=2))
+
+                def drift(x, t):
+                    return showo2_t2i_velocity_cached(
+                        cfg, params, x, t, bias_fresh, modality_positions,
+                        qwen_kv, dit_kv,
+                        guidance_scale=self.guidance_scale,
+                        attn_meta=attn_meta)
+            else:
+                def drift(x, t):
+                    return showo2_t2i_velocity(
+                        cfg, params, text_tokens, x, t, bias,
+                        modality_positions,
+                        guidance_scale=self.guidance_scale,
+                        attn_meta=attn_meta)
 
             method = self.sampling_method
             if method == "heun":

@@ -177,8 +177,15 @@ def fuse_inference(params):
 
 
 def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
-               modality_positions, attn_meta=None, attn_impl=None):
-    """One ModulatedAttentionBlock (modules.py:131-218)."""
+               modality_positions, attn_meta=None, attn_impl=None,
+               cache_kv=None, cache_offsets=None):
+    """One ModulatedAttentionBlock (modules.py:131-218).
+
+    cache_kv: optional per-layer (ck, cv) [B, S_full, Hkv, Dh] K/V buffers
+    holding the constant text rows (t2i cached-window inference); the
+    fresh rows' K/V are scattered in at per-row ``cache_offsets`` and
+    attention runs fresh-Q x full-K.  Returns (h_out, (k, v)) — the fresh
+    roped K/V, collected by dit_forward's prefill pass."""
     B, S, D = h.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     L = S
@@ -214,6 +221,18 @@ def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
     q = q * cos_b + _rotate_half(q) * sin_b
     k = k * cos_b + _rotate_half(k) * sin_b
 
+    k_fresh, v_fresh = k, v
+    if cache_kv is not None:
+        ck, cv = cache_kv               # [B, S_full, Hkv, Dh]
+        upd = jax.vmap(
+            lambda c, x, o: jax.lax.dynamic_update_slice(c, x, (o, 0, 0)))
+        ck = upd(ck, k.astype(ck.dtype), cache_offsets)
+        cv = upd(cv, v.astype(cv.dtype), cache_offsets)
+        k, v = ck, cv
+        q_positions = cache_offsets[:, None] + jnp.arange(S)
+    else:
+        q_positions = None
+
     if attn_meta is not None:
         # same Pallas routing as qwen2._layer — the DiT head shares the
         # omni mask, so long-seq training avoids its S x S bias too
@@ -236,10 +255,11 @@ def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
             # 250 MB/layer of score traffic on the dense path at S=986)
             from showo_tpu.ops.flash_attention import omni_attention_packed
 
+            Skv = k.shape[1]
             attn = omni_attention_packed(
-                q.reshape(B, S, H * Dh), k.reshape(B, S, Hkv * Dh),
-                v.reshape(B, S, Hkv * Dh), seg, pad, last_pad, prefix,
-                num_heads=H, num_kv_heads=Hkv)
+                q.reshape(B, S, H * Dh), k.reshape(B, Skv, Hkv * Dh),
+                v.reshape(B, Skv, Hkv * Dh), seg, pad, last_pad, prefix,
+                num_heads=H, num_kv_heads=Hkv, q_positions=q_positions)
         else:
             from showo_tpu.ops.streaming_attention import \
                 omni_attention_streaming
@@ -272,15 +292,24 @@ def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
     else:
         mlp = (jax.nn.silu(x2 @ lp["gate"]["kernel"])
                * (x2 @ lp["up"]["kernel"])) @ lp["down"]["kernel"]
-    return h + gate_mlp * mlp
+    return h + gate_mlp * mlp, (k_fresh, v_fresh)
 
 
 def dit_forward(cfg: DiffusionHeadConfig, params, h, adaln_input,
                 attention_bias, modality_positions, remat: bool = False,
-                attn_meta=None):
-    """Stack of ModulatedAttentionBlocks as a scan."""
+                attn_meta=None, positions=None, cache=None,
+                cache_offsets=None, return_kv: bool = False):
+    """Stack of ModulatedAttentionBlocks as a scan.
+
+    positions: optional [B, S] or [1, S] absolute rope positions (defaults
+    to arange).  cache: optional per-layer (ck, cv) [L, B, S_full, Hkv,
+    Dh] constant-row K/V buffers with per-row ``cache_offsets`` [B] for
+    the fresh rows (t2i cached-window inference).  return_kv=True also
+    returns the stacked fresh roped K/V [L, B, S, Hkv, Dh] (the prefill
+    pass that builds the cache)."""
     B, S, _ = h.shape
-    positions = jnp.arange(S)[None, :]
+    if positions is None:
+        positions = jnp.arange(S)[None, :]
     cos, sin = llama3_rope_tables(positions, cfg)
     attn_impl = None
     if attn_meta is not None and isinstance(attn_meta[0], str):
@@ -288,12 +317,26 @@ def dit_forward(cfg: DiffusionHeadConfig, params, h, adaln_input,
     layer_fn = (jax.checkpoint(_dit_layer, static_argnums=(0, 9))
                 if remat else _dit_layer)
 
-    def body(h, lp):
-        return layer_fn(cfg, lp, h, adaln_input, attention_bias, cos, sin,
-                        modality_positions, attn_meta, attn_impl), None
+    if cache is not None:
+        def body(h, xs):
+            lp, layer_kv = xs
+            h, kv = _dit_layer(cfg, lp, h, adaln_input, attention_bias,
+                               cos, sin, modality_positions, attn_meta,
+                               attn_impl, layer_kv, cache_offsets)
+            return h, kv if return_kv else None
 
-    h, _ = jax.lax.scan(body, h, params["layers"],
-                        unroll=cfg.scan_unroll)
+        h, kvs = jax.lax.scan(body, h, (params["layers"], cache),
+                              unroll=cfg.scan_unroll)
+    else:
+        def body(h, lp):
+            h, kv = layer_fn(cfg, lp, h, adaln_input, attention_bias, cos,
+                             sin, modality_positions, attn_meta, attn_impl)
+            return h, kv if return_kv else None
+
+        h, kvs = jax.lax.scan(body, h, params["layers"],
+                              unroll=cfg.scan_unroll)
+    if return_kv:
+        return h, kvs
     return h
 
 

@@ -171,10 +171,19 @@ def _layer(cfg: Qwen2Config, lp, h, bias, cos, sin, cache_kv=None,
 
     if cache_kv is not None:
         ck, cv = cache_kv
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
-                                          (0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                          (0, cache_index, 0, 0))
+        if getattr(cache_index, "ndim", 0) == 1:
+            # per-row write offsets (the t2i cached-window path: modality
+            # offsets vary per batch row; v2's GQA cache is narrow enough
+            # that the per-step buffer copy is negligible)
+            upd = jax.vmap(
+                lambda c, x, o: jax.lax.dynamic_update_slice(c, x, (o, 0, 0)))
+            ck = upd(ck, k.astype(ck.dtype), cache_index)
+            cv = upd(cv, v.astype(cv.dtype), cache_index)
+        else:
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                              (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                              (0, cache_index, 0, 0))
         k_att, v_att = ck, cv
         new_kv = (ck, cv)
     else:
@@ -190,8 +199,12 @@ def _layer(cfg: Qwen2Config, lp, h, bias, cos, sin, cache_kv=None,
         else:
             impl, impl_meta = attn_impl or "pallas_packed", attn_meta
         seg, pad, last_pad, prefix = impl_meta
-        q_positions = (cache_index + jnp.arange(S)
-                       if cache_kv is not None else None)
+        if cache_kv is None:
+            q_positions = None
+        elif getattr(cache_index, "ndim", 0) == 1:
+            q_positions = cache_index[:, None] + jnp.arange(S)  # [B, S]
+        else:
+            q_positions = cache_index + jnp.arange(S)
         Skv = k_att.shape[1]
         if impl == "pallas_trainable":
             # differentiable flash kernel (custom VJP, no S x S in HBM):
@@ -256,8 +269,15 @@ def qwen2_forward(
     cache: Optional[Qwen2KVCache] = None,
     remat: bool = False,
     attn_meta=None,
+    cache_offsets: Optional[jnp.ndarray] = None,
 ):
-    """Returns (logits, last_hidden_state, new_cache_or_None)."""
+    """Returns (logits, last_hidden_state, new_cache_or_None).
+
+    cache_offsets: optional [B] per-row write offsets into the cache (the
+    t2i cached-window path — fresh image-span rows land at each row's
+    modality offset; requires explicit position_ids and a bias/attn_meta
+    covering the full cache length).
+    """
     if input_embeds is None:
         input_embeds = params["embed"][input_ids]
     B, S, _ = input_embeds.shape
@@ -277,10 +297,12 @@ def qwen2_forward(
                 if remat else _layer)
 
     if cache is not None:
+        index = cache_offsets if cache_offsets is not None else cache.length
+
         def body(h, xs):
             lp, layer_kv = xs
             h, new_kv = layer_fn(cfg, lp, h, attention_bias, cos, sin,
-                                 layer_kv, cache.length, attn_meta,
+                                 layer_kv, index, attn_meta,
                                  attn_impl)
             return h, new_kv
 

@@ -321,6 +321,133 @@ def extract_v(cfg: Showo2Config, v_seq: jnp.ndarray,
     return unpatchify_v(cfg, spans, h_, w_, T=num_frames)
 
 
+def _dit_meta(attn_meta):
+    """Pallas kernels that the DiT head supports (see showo2_forward)."""
+    if (attn_meta is not None and isinstance(attn_meta[0], str)
+            and attn_meta[0] in ("pallas_trainable", "pallas_streaming",
+                                 "pallas_packed")):
+        return attn_meta
+    return None
+
+
+def showo2_t2i_prefill(
+    cfg: Showo2Config,
+    params: Dict[str, Any],
+    text_tokens: jnp.ndarray,
+    attention_bias: jnp.ndarray,
+    modality_positions: jnp.ndarray,
+    attn_meta=None,
+):
+    """Capture the latent-INDEPENDENT per-layer K/V of the full sequence,
+    once per generation (the v2 analog of the v1 prefix-KV MaskGIT,
+    models/showo.py showo_t2i_generate_cached).
+
+    Text rows precede the image span and attend only causally backwards
+    (omni_attn_mask semantics, show-o2/models/omni_attention.py:56-70),
+    so their K/V never see the latents: one forward with ZERO latents
+    yields their exact K/V for every euler step.  The span rows' cache
+    entries are placeholders — the cached velocity step overwrites them
+    each evaluation.  Returns (qwen_kv, dit_kv).
+    """
+    B, L = text_tokens.shape
+    input_embeds = params["showo"]["embed"][text_tokens]
+    dtype = input_embeds.dtype
+    M = modality_positions.shape[1]
+    lat = jnp.zeros((B * M, cfg.image_latent_dim, cfg.image_latent_height,
+                     cfg.image_latent_width), dtype)
+    t = jnp.zeros((B * M,), jnp.float32)
+    image_embeds = embed_images(cfg, params, lat)
+    time_embeds = time_embed_apply(params["time_embed"], t, dtype)
+    if "time_embed_proj" in params:
+        tp = params["time_embed_proj"]
+        time_embeds_proj = time_embeds @ tp["kernel"] + tp["bias"]
+    else:
+        time_embeds_proj = time_embeds
+    input_embeds = modality_scatter(input_embeds, image_embeds,
+                                    time_embeds_proj, modality_positions,
+                                    add_time_embeds=cfg.add_time_embeds)
+    cache = Qwen2KVCache.zeros(cfg.llm, B, L, dtype=dtype)
+    _, h, qcache = qwen2_forward(cfg.llm, params["showo"],
+                                 input_embeds=input_embeds,
+                                 attention_bias=attention_bias,
+                                 cache=cache, attn_meta=attn_meta)
+    if "diff_proj" in params:
+        dp = params["diff_proj"]
+        h = h @ dp["fc1"]["kernel"] + dp["fc1"]["bias"]
+        h = jax.nn.gelu(h, approximate=False)
+        h = h @ dp["fc2"]["kernel"] + dp["fc2"]["bias"]
+    _, dit_kv = dit_forward(cfg.dit, params["diffusion_head_a"], h,
+                            time_embeds, attention_bias,
+                            modality_positions,
+                            attn_meta=_dit_meta(attn_meta), return_kv=True)
+    return (qcache.k, qcache.v), dit_kv
+
+
+def showo2_t2i_velocity_cached(
+    cfg: Showo2Config,
+    params: Dict[str, Any],
+    image_latents: jnp.ndarray,        # [B, C, H, W] (M = 1 spans)
+    t: jnp.ndarray,                    # [B]
+    bias_fresh: jnp.ndarray,           # [B, 1, n_img, L_full]
+    modality_positions: jnp.ndarray,   # FULL-sequence [B, 1, 2]
+    qwen_kv,
+    dit_kv,
+    guidance_scale: float = 0.0,
+    attn_meta=None,
+):
+    """One velocity evaluation re-forwarding ONLY the image-span rows
+    against the prefilled constant K/V — per-step cost drops by the text
+    fraction of the sequence in BOTH towers.  Bit-identical to
+    showo2_t2i_velocity: the fresh rows see exactly the same K set (text
+    K/V from prefill + their own), same rope positions, same adaLN spans.
+    Offsets may differ per batch row (the CFG null prompt's span starts
+    at 2): fresh K/V are scattered per row and q positions ride per-row
+    metadata."""
+    dtype = params["showo"]["embed"].dtype
+    image_embeds = embed_images(cfg, params, image_latents.astype(dtype))
+    time_embeds = time_embed_apply(params["time_embed"], t, dtype)
+    if "time_embed_proj" in params:
+        tp = params["time_embed_proj"]
+        time_embeds_proj = time_embeds @ tp["kernel"] + tp["bias"]
+    else:
+        time_embeds_proj = time_embeds
+    if cfg.add_time_embeds:
+        fresh = jnp.concatenate([time_embeds_proj[:, None, :].astype(dtype),
+                                 image_embeds], axis=1)
+    else:
+        fresh = image_embeds
+    B, n, _ = fresh.shape
+    offsets = modality_positions[:, 0, 0]
+    pos_ids = offsets[:, None] + jnp.arange(n)
+
+    cache = Qwen2KVCache(qwen_kv[0], qwen_kv[1], jnp.zeros((), jnp.int32))
+    _, h, _ = qwen2_forward(cfg.llm, params["showo"], input_embeds=fresh,
+                            attention_bias=bias_fresh,
+                            position_ids=pos_ids, cache=cache,
+                            cache_offsets=offsets, attn_meta=attn_meta)
+    if "diff_proj" in params:
+        dp = params["diff_proj"]
+        h = h @ dp["fc1"]["kernel"] + dp["fc1"]["bias"]
+        h = jax.nn.gelu(h, approximate=False)
+        h = h @ dp["fc2"]["kernel"] + dp["fc2"]["bias"]
+    mp_fresh = jnp.broadcast_to(
+        jnp.asarray([[0, n]], jnp.int32)[None], (B, 1, 2))
+    h = dit_forward(cfg.dit, params["diffusion_head_a"], h, time_embeds,
+                    bias_fresh, mp_fresh, attn_meta=_dit_meta(attn_meta),
+                    positions=pos_ids, cache=dit_kv, cache_offsets=offsets)
+    v_seq = final_layer_apply(params["diffusion_head_b"], h, time_embeds,
+                              mp_fresh)
+    h_ = cfg.image_latent_height // cfg.patch_size
+    w_ = cfg.image_latent_width // cfg.patch_size
+    v = extract_v(cfg, v_seq, mp_fresh, h_, w_)
+
+    if guidance_scale > 0:
+        v_cond, v_uncond = jnp.split(v, 2, axis=0)
+        v_g = v_uncond + guidance_scale * (v_cond - v_uncond)
+        return jnp.concatenate([v_g, v_g], axis=0)
+    return v
+
+
 def showo2_t2i_velocity(
     cfg: Showo2Config,
     params: Dict[str, Any],
