@@ -44,12 +44,17 @@ def build_showo_config(config) -> ShowoConfig:
         codebook_size=m.codebook_size,
         num_vq_tokens=m.num_vq_tokens,
         w_clip_vit=m.get("w_clip_vit", False),
+        clip_feat_dim=(int(dict(m.get("clip_vit", {})).get("hidden_size", 1024))
+                       * (len(str(m["clip_s2_scales"]).split(","))
+                          if m.get("clip_s2_scales", None) else 1)),
         # attn_fp32=False opts into bf16 softmax scores: +8% decode
         # throughput (STATUS.md); default True = the reference's fp32
         # QK upcast (models/phi.py:359-362), token-exact at fp32
         llm=PhiConfig(vocab_size=m.vocab_size,
                       attn_fp32=bool(m.get("attn_fp32", True)),
-                      scan_unroll=int(m.get("scan_unroll", 1))),
+                      scan_unroll=int(m.get("scan_unroll", 1)),
+                      # optional dim overrides for tiny e2e CLI runs
+                      **{k: int(v) for k, v in dict(m.get("phi", {})).items()}),
     )
 
 
@@ -65,7 +70,10 @@ def load_params(config, cfg: ShowoConfig):
 
 
 def load_vq(config):
-    vq_cfg = VQConfig()
+    # optional dim overrides (tiny e2e CLI runs); defaults = MAGVIT-v2
+    ov = dict(config.model.vq_model.get("dims", {}))
+    vq_cfg = VQConfig(**{k: (tuple(v) if isinstance(v, (list, tuple)) else int(v))
+                         for k, v in ov.items()})
     path = config.model.vq_model.vq_model_name
     if path != "random" and os.path.exists(path):
         from showo_tpu.utils.checkpoint import load_magvit_weights

@@ -110,3 +110,92 @@ def clip_vit_features(cfg: ClipVitConfig, params, pixels_nhwc):
 
     h, _ = jax.lax.scan(body, h, lp)
     return h[:, 1:]  # drop CLS (clip_encoder.py:39-51 patch features)
+
+
+def _bicubic_matrix(n_in: int, n_out: int) -> "jnp.ndarray":
+    """[n_out, n_in] torch-bicubic (a=-0.75, half-pixel, edge-clamped)
+    interpolation weights — jax.image's 'cubic' is Catmull-Rom (a=-0.5),
+    which does not match torch F.interpolate(mode='bicubic')."""
+    import numpy as np
+    a = -0.75
+    scale = n_in / n_out
+    c = (np.arange(n_out) + 0.5) * scale - 0.5
+    base = np.floor(c).astype(np.int64)
+    frac = c - base
+    w = np.zeros((n_out, n_in), np.float32)
+    for k in range(-1, 3):
+        t = np.abs(frac - k)
+        wk = np.where(
+            t <= 1, (a + 2) * t**3 - (a + 3) * t**2 + 1,
+            np.where(t < 2, a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a, 0.0))
+        idx = np.clip(base + k, 0, n_in - 1)
+        np.add.at(w, (np.arange(n_out), idx), wk.astype(np.float32))
+    return jnp.asarray(w)
+
+
+def _bicubic_resize(x, out_h: int, out_w: int):
+    """NHWC resize matching torch F.interpolate(mode='bicubic'), expressed
+    as two dense 1-D weight matmuls (static shapes -> MXU-tileable)."""
+    B, H, W, C = x.shape
+    wh = _bicubic_matrix(H, out_h)
+    ww = _bicubic_matrix(W, out_w)
+    x = jnp.einsum("oh,bhwc->bowc", wh, x.astype(jnp.float32))
+    return jnp.einsum("ow,bhwc->bhoc", ww, x)
+
+
+def clip_vit_features_s2(cfg: ClipVitConfig, params, pixels_nhwc,
+                         scales=None, max_split_size=None):
+    """Multiscale (S2) patch features: [B, num_patches, D * len(scales)].
+
+    Implements the reference ``CLIPVisionTowerS2``
+    (models/clip_encoder.py:85-140), whose multiscale loop comes from the
+    external ``s2wrapper.forward`` package: for each scale the image is
+    bicubic-resized, chess-board split into tiles of ``max_split_size``,
+    each tile run through the tower, the tile feature maps merged back
+    spatially, area-pooled down to the smallest scale's feature grid, and
+    the per-scale maps concatenated on the channel axis
+    (``hidden_size * len(s2_scales)``, clip_encoder.py:139-140).
+
+    All tiles across all scales run as ONE batched tower forward (1+4+9
+    tiles at the default 336/672/1008 scales) so the MXU sees a single
+    large batch instead of three sequential calls.
+    """
+    B, H0, W0, C = pixels_nhwc.shape
+    scales = sorted(scales or (cfg.image_size, 2 * cfg.image_size,
+                               3 * cfg.image_size))
+    split = int(max_split_size or scales[0])
+
+    tiles_per_scale, all_tiles = [], []
+    for s in scales:
+        n = math.ceil(s / split)
+        t = s // n
+        x = pixels_nhwc
+        if (H0, W0) != (s, s):
+            x = _bicubic_resize(pixels_nhwc, s, s).astype(pixels_nhwc.dtype)
+        # split_chessboard: row-major (i, j) tiles stacked on batch,
+        # tile-major with the original batch innermost
+        tiles = x.reshape(B, n, t, n, t, C).transpose(1, 3, 0, 2, 4, 5)
+        all_tiles.append(tiles.reshape(n * n * B, t, t, C))
+        tiles_per_scale.append(n)
+
+    feats = clip_vit_features(cfg, params, jnp.concatenate(all_tiles, 0))
+    p = int(round(math.sqrt(feats.shape[1])))
+    D = feats.shape[-1]
+
+    out, off = [], 0
+    base = p  # output grid = smallest scale's (s2wrapper resize_output_to_idx=0)
+    for n in tiles_per_scale:
+        f = feats[off:off + n * n * B]
+        off += n * n * B
+        # merge_chessboard: tile (i, j) -> block row i, col j
+        f = f.reshape(n, n, B, p, p, D).transpose(2, 0, 3, 1, 4, 5)
+        f = f.reshape(B, n * p, n * p, D)
+        factor = (n * p) // base
+        assert factor * base == n * p, (
+            f"s2 scales must be integer multiples of the base scale "
+            f"(merged grid {n * p} vs base {base})")
+        # torch 'area' interpolation at an integer factor is exact mean-pool
+        f = f.reshape(B, base, factor, base, factor, D).mean(axis=(2, 4))
+        out.append(f)
+    return jnp.concatenate(out, axis=-1).reshape(B, base * base,
+                                                 D * len(scales))

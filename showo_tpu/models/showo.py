@@ -30,6 +30,9 @@ class ShowoConfig:
     codebook_size: int = 8192
     num_vq_tokens: int = 256
     w_clip_vit: bool = False
+    # mm_projector input width: CLIP-L hidden (modeling_showo.py:49-54);
+    # 1024*len(scales) when the S2 multiscale tower feeds it
+    clip_feat_dim: int = 1024
     llm: PhiConfig = dataclasses.field(default_factory=PhiConfig)
 
     @property
@@ -47,7 +50,7 @@ def init_showo_params(cfg: ShowoConfig, key, dtype=jnp.float32) -> Dict[str, Any
         k1, k2 = jax.random.split(key)
         d = cfg.llm.hidden_size
         params["mm_projector"] = {
-            "fc1": {"kernel": (jax.random.normal(k1, (1024, d)) * 0.02).astype(dtype),
+            "fc1": {"kernel": (jax.random.normal(k1, (cfg.clip_feat_dim, d)) * 0.02).astype(dtype),
                     "bias": jnp.zeros((d,), dtype)},
             "fc2": {"kernel": (jax.random.normal(k2, (d, d)) * 0.02).astype(dtype),
                     "bias": jnp.zeros((d,), dtype)},

@@ -141,6 +141,14 @@ def load_magvit_weights(path: str) -> dict:
     return magvit_params_from_torch(_load_dir_or_file(path))
 
 
+def load_clip_weights(path: str, num_layers: int = 24) -> dict:
+    """Load an HF CLIPVisionModel checkpoint (openai/clip-vit-large-patch14-336,
+    inference_mmu.py:73-75) into the jax clip_vit param pytree."""
+    from showo_tpu.utils.torch_import import clip_vit_params_from_torch
+
+    return clip_vit_params_from_torch(_load_dir_or_file(path), num_layers)
+
+
 def load_wan_vae_weights(path: str, cfg=None) -> dict:
     from showo_tpu.utils.torch_import import wan_vae_params_from_torch
 

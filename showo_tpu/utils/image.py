@@ -31,6 +31,25 @@ def image_transform(img, resolution: int = 256, normalize: bool = True) -> np.nd
     return arr
 
 
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def clip_image_transform(img, image_size: int = 336) -> np.ndarray:
+    """CLIPImageProcessor.preprocess equivalent (inference_mmu.py:75,94):
+    shortest-edge bicubic resize, center crop, CLIP mean/std normalize."""
+    w, h = img.size
+    scale = image_size / min(w, h)
+    nw, nh = round(w * scale), round(h * scale)
+    img = img.resize((nw, nh), Image.BICUBIC)
+    left = (nw - image_size) // 2
+    top = (nh - image_size) // 2
+    img = img.crop((left, top, left + image_size, top + image_size))
+    x = np.asarray(img.convert("RGB"), np.float32) / 255.0
+    return ((x - np.asarray(CLIP_MEAN, np.float32))
+            / np.asarray(CLIP_STD, np.float32))
+
+
 def to_pil_images(batch_nhwc: np.ndarray):
     """[-1,1] NHWC floats -> list of PIL images."""
     x = np.clip((np.asarray(batch_nhwc) + 1.0) / 2.0, 0.0, 1.0) * 255.0
