@@ -240,7 +240,7 @@ def bench_t2i_v2(args) -> None:
                          vae_params=vae_params, tokenizer=Tok(),
                          token_ids=ids, guidance_scale=7.5, num_steps=steps,
                          max_text_len=256,
-                         prefix_cache=args.get("prefix_cache", "1") != "0",
+                         prefix_cache=args.get("prefix_cache", "0") != "0",
                          fuse_weights=args.get("fused", "1") != "0")
     prompts = ["a"] * B
     np.asarray(pipe.generate(prompts, jax.random.PRNGKey(2))[:, :2, :2])

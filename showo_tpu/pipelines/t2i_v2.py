@@ -43,8 +43,12 @@ class T2IV2Pipeline:
     # steps in BOTH towers (they never attend into the image span), so
     # they are prefilled once and every step re-forwards only the span
     # rows — bit-identical outputs (tests/test_t2i_v2_cached.py), the v2
-    # analog of the v1 cached MaskGIT
-    prefix_cache: bool = True
+    # analog of the v1 cached MaskGIT.  Measured on-chip (r3 A/B, one
+    # process, interleaved): cached 20.96/20.98 vs plain 21.85 img/min —
+    # the per-layer K/V scatter + Q!=K kernel overhead outweighs the
+    # ~25% row saving at the 432px text fraction, so OFF by default;
+    # it wins only when text rows dominate the sequence.
+    prefix_cache: bool = False
 
     def __post_init__(self):
         cfg = self.cfg

@@ -1,0 +1,114 @@
+"""DiT head ablation: why is the 10-block ModulatedAttention stack at
+~4x its matmul floor (38.1 ms vs ~9 ms, probe_v2_breakdown.py)?
+
+Times dit_forward variants on the real chip at the v2 t2i shape
+(B=2 CFG, S=986, hidden 2048) to isolate the overhead:
+  full        — production path (dense attention)
+  packed      — production path with the packed Pallas attention
+  nomod       — span_broadcast modulation replaced by scalar constants
+                (isolates the 6 per-layer [B,S,D] gather broadcasts)
+  noattn      — attention replaced by identity (isolates score traffic)
+  floor       — the 4 matmuls per layer alone in the same scan
+
+Run:  python tools/probe_dit_breakdown.py [unroll=10]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def _sync(out):
+    import numpy as np
+
+    return float(np.asarray(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32))))
+
+
+def bench(fn, *args, iters=20):
+    _sync(fn(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    args = dict(a.split("=", 1) for a in sys.argv[1:])
+    import dataclasses
+
+    from showo_tpu.show_o2.dit import (DiffusionHeadConfig, dit_forward,
+                                       init_dit_params)
+    from showo_tpu.show_o2 import dit as ditmod
+
+    unroll = int(args.get("unroll", 10))
+    cfg = dataclasses.replace(DiffusionHeadConfig(), scan_unroll=unroll)
+    B, S = int(args.get("batch", 2)), int(args.get("seq", 986))
+    M = 1
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(lambda k: init_dit_params(cfg, k, jnp.bfloat16))(key)
+    params = ditmod.fuse_inference(params)  # production: fused qkv + gu
+    h = jax.random.normal(key, (B, S, cfg.hidden_size), jnp.bfloat16)
+    adaln = jax.random.normal(key, (B * M, cfg.hidden_size), jnp.bfloat16)
+    # one image span covering rows [217, 217+729) like the 432px layout
+    mp = jnp.tile(jnp.array([[[217, 729]]], jnp.int32), (B, 1, 1))
+    bias = jnp.zeros((B, 1, S, S), jnp.bfloat16)
+    seg = jnp.where((jnp.arange(S) >= 217) & (jnp.arange(S) < 946), 1, 0
+                    )[None, :].repeat(B, 0).astype(jnp.int32)
+    pad = jnp.zeros((B, S), jnp.int32)
+    last_pad = jnp.full((B,), S, jnp.int32)
+    prefix = jnp.zeros((B,), jnp.int32)
+
+    full = jax.jit(lambda p, h, a: dit_forward(cfg, p, h, a, bias, mp))
+    packed = jax.jit(lambda p, h, a: dit_forward(
+        cfg, p, h, a, None, mp,
+        attn_meta=("pallas_packed", seg, pad, last_pad, prefix)))
+
+    iters = int(args.get("iters", 20))
+    print(f"full (dense bias):  {bench(full, params, h, adaln, iters=iters):7.2f} ms")
+    if args.get("packed", "1") != "0":
+        print(f"packed attention:   {bench(packed, params, h, adaln, iters=iters):7.2f} ms")
+
+    # --- nomod: neutralize span_broadcast (scalars fold into elementwise)
+    orig_sb = ditmod.span_broadcast
+
+    def scalar_sb(values, modality_positions, L, default):
+        return jnp.full((values.shape[0] // M, 1, values.shape[1]), default,
+                        values.dtype)
+
+    ditmod.span_broadcast = scalar_sb
+    nomod = jax.jit(lambda p, h, a: dit_forward(cfg, p, h, a, bias, mp))
+    print(f"nomod (no gathers): {bench(nomod, params, h, adaln, iters=iters):7.2f} ms")
+    ditmod.span_broadcast = orig_sb
+
+    # --- floor: the 4 matmuls per layer in the same scan structure
+    def floor_fn(p, h):
+        def body(x, lp):
+            y = x @ lp["qkv"]["kernel"] if "qkv" in lp else (
+                x @ jnp.concatenate([lp["q"]["kernel"], lp["k"]["kernel"],
+                                     lp["v"]["kernel"]], axis=-1))
+            x = y[..., :cfg.hidden_size] @ lp["o"]["kernel"]
+            if "gu" in lp:
+                gu = x @ lp["gu"]["kernel"]
+                x = (gu[..., :cfg.intermediate_size]
+                     * gu[..., cfg.intermediate_size:]) @ lp["down"]["kernel"]
+            else:
+                x = ((x @ lp["gate"]["kernel"]) * (x @ lp["up"]["kernel"])
+                     ) @ lp["down"]["kernel"]
+            return x, None
+
+        out, _ = jax.lax.scan(body, h, p["layers"], unroll=cfg.scan_unroll)
+        return out
+
+    floor = jax.jit(floor_fn)
+    print(f"matmul floor:       {bench(floor, params, h, iters=iters):7.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
