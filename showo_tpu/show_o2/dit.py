@@ -93,6 +93,33 @@ def span_broadcast(values: jnp.ndarray, modality_positions: jnp.ndarray,
                      jnp.full_like(gathered, default))
 
 
+def span_modulation(ada: jnp.ndarray, modality_positions: jnp.ndarray,
+                    L: int, n_chunks: int = 6):
+    """All adaLN modulation tensors in ONE one-hot einsum.
+
+    ``ada`` is [B*M, n*D] (the per-span adaLN projection output); returns
+    n tensors [B, L, D] where positions inside span j of row i get
+    ada[i*M+j]'s chunk and everything else 0 (callers add the gate
+    default themselves via the also-returned ``claimed`` [B, L] mask).
+
+    Numerically identical to n row-gather ``span_broadcast`` calls for
+    non-overlapping spans (the one-hot matmul has exactly one 1 per
+    row), but runs on the MXU instead of TPU gather hardware — gathers
+    of [B, L, D] rows measured as the dominant DiT-head overhead
+    (tools/probe_dit_breakdown.py)."""
+    BM, DN = ada.shape
+    B, M = modality_positions.shape[:2]
+    pos = jnp.arange(L)
+    off = modality_positions[..., 0]                    # [B, M]
+    length = modality_positions[..., 1]
+    in_span = ((pos[None, None, :] >= off[..., None])
+               & (pos[None, None, :] < (off + length)[..., None]))  # [B,M,L]
+    oh = in_span.astype(ada.dtype)
+    mod = jnp.einsum("bml,bmk->blk", oh, ada.reshape(B, M, DN))
+    claimed = jnp.any(in_span, axis=1)                  # [B, L]
+    return jnp.split(mod, n_chunks, axis=-1), claimed
+
+
 def timestep_embedding(t, dim, max_period=10000):
     """Sinusoidal embedding (modules.py:749-768)."""
     half = dim // 2
@@ -191,13 +218,12 @@ def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
     L = S
 
     ada = jax.nn.silu(adaln_input) @ lp["adaln"]["kernel"] + lp["adaln"]["bias"]
-    sm, cm, gm, s2, c2, g2 = jnp.split(ada, 6, axis=-1)  # each [B*M, D]
-    shift_msa = span_broadcast(sm, modality_positions, L, 0.0)
-    scale_msa = span_broadcast(cm, modality_positions, L, 0.0)
-    gate_msa = span_broadcast(gm, modality_positions, L, 1.0)
-    shift_mlp = span_broadcast(s2, modality_positions, L, 0.0)
-    scale_mlp = span_broadcast(c2, modality_positions, L, 0.0)
-    gate_mlp = span_broadcast(g2, modality_positions, L, 1.0)
+    (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp
+     ), claimed = span_modulation(ada, modality_positions, L)
+    # gate default is 1 outside spans (span_broadcast semantics)
+    out_of_span = (~claimed)[..., None].astype(gate_msa.dtype)
+    gate_msa = gate_msa + out_of_span
+    gate_mlp = gate_mlp + out_of_span
 
     x = modulate(rms_norm(h, lp["input_ln"]["scale"], cfg.rms_norm_eps),
                  shift_msa, scale_msa)
@@ -357,8 +383,7 @@ def final_layer_apply(p, x, adaln_input, modality_positions,
     """FinalLayer (modules.py:787-806)."""
     L = x.shape[1]
     ada = jax.nn.silu(adaln_input) @ p["adaln"]["kernel"] + p["adaln"]["bias"]
-    shift, scale = jnp.split(ada, 2, axis=-1)
-    shift = span_broadcast(shift, modality_positions, L, 0.0)
-    scale = span_broadcast(scale, modality_positions, L, 0.0)
+    (shift, scale), _ = span_modulation(ada, modality_positions, L,
+                                        n_chunks=2)
     x = modulate(rms_norm(x, p["norm"]["scale"], rms_eps), shift, scale)
     return x @ p["linear"]["kernel"] + p["linear"]["bias"]

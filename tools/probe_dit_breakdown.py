@@ -75,17 +75,35 @@ def main():
     if args.get("packed", "1") != "0":
         print(f"packed attention:   {bench(packed, params, h, adaln, iters=iters):7.2f} ms")
 
-    # --- nomod: neutralize span_broadcast (scalars fold into elementwise)
-    orig_sb = ditmod.span_broadcast
+    # --- nomod: neutralize span modulation (scalars fold into elementwise)
+    orig_sm = ditmod.span_modulation
 
-    def scalar_sb(values, modality_positions, L, default):
-        return jnp.full((values.shape[0] // M, 1, values.shape[1]), default,
-                        values.dtype)
+    def scalar_sm(ada, modality_positions, L, n_chunks=6):
+        Bm = modality_positions.shape[0]
+        D = ada.shape[1] // n_chunks
+        z = jnp.zeros((Bm, 1, D), ada.dtype)
+        return [z] * n_chunks, jnp.ones((Bm, 1), bool)
 
-    ditmod.span_broadcast = scalar_sb
+    ditmod.span_modulation = scalar_sm
     nomod = jax.jit(lambda p, h, a: dit_forward(cfg, p, h, a, bias, mp))
-    print(f"nomod (no gathers): {bench(nomod, params, h, adaln, iters=iters):7.2f} ms")
-    ditmod.span_broadcast = orig_sb
+    print(f"nomod (scalar mod): {bench(nomod, params, h, adaln, iters=iters):7.2f} ms")
+    ditmod.span_modulation = orig_sm
+
+    # --- gather variant: the 6 original span_broadcast row-gathers
+    def gather_sm(ada, modality_positions, L, n_chunks=6):
+        chunks = jnp.split(ada, n_chunks, axis=-1)
+        outs = [ditmod.span_broadcast(c, modality_positions, L, 0.0)
+                for c in chunks]
+        pos = jnp.arange(L)[None, :, None]
+        off = modality_positions[:, None, :, 0]
+        ln = modality_positions[:, None, :, 1]
+        claimed = jnp.any((pos >= off) & (pos < off + ln), axis=-1)
+        return outs, claimed
+
+    ditmod.span_modulation = gather_sm
+    gat = jax.jit(lambda p, h, a: dit_forward(cfg, p, h, a, bias, mp))
+    print(f"gather modulation:  {bench(gat, params, h, adaln, iters=iters):7.2f} ms")
+    ditmod.span_modulation = orig_sm
 
     # --- floor: the 4 matmuls per layer in the same scan structure
     def floor_fn(p, h):
