@@ -42,6 +42,11 @@ def bench_mmu(args) -> None:
         from showo_tpu.models.phi import fuse_parallel_mlp
 
         params = dict(params, showo=fuse_parallel_mlp(params["showo"]))
+    if args.get("int8", "0") != "0":
+        # weight-only int8 serving mode: halves decode weight traffic
+        from showo_tpu.models.phi import quantize_int8
+
+        params = dict(params, showo=jax.jit(quantize_int8)(params["showo"]))
     B = int(args.get("batch", 1))
     max_new = int(args.get("max_new_tokens", 128))
     SOI, EOI, MMU = 50296, 50297, 50300
@@ -100,6 +105,10 @@ def bench_mmu_v2(args) -> None:
         jax.random.PRNGKey(0))
     if args.get("fused", "1") != "0":
         params = fuse_inference(params)
+    if args.get("int8", "0") != "0":
+        from showo_tpu.show_o2.qwen2 import quantize_int8
+
+        params = dict(params, showo=jax.jit(quantize_int8)(params["showo"]))
 
     n_img = cfg.num_image_tokens
     latents = jax.random.normal(

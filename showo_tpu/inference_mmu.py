@@ -40,7 +40,8 @@ def main() -> None:
                        vq_params=vq_params, uni_prompting=uni,
                        max_new_tokens=int(config.get("max_new_tokens", 100)),
                        top_k=int(config.get("top_k", 1)),
-                       top_p=(float(config["top_p"]) if "top_p" in config else None))
+                       top_p=(float(config["top_p"]) if "top_p" in config else None),
+                       quantize_int8=bool(int(config.get("int8", 0))))
 
     from showo_tpu.utils.image import clip_image_transform, image_transform
     from PIL import Image

@@ -60,7 +60,8 @@ def main() -> None:
                          token_ids=token_ids,
                          max_new_tokens=int(config.get("max_new_tokens", 300)),
                          top_k=int(config.get("top_k", 1)),
-                         top_p=(float(config["top_p"]) if "top_p" in config else None))
+                         top_p=(float(config["top_p"]) if "top_p" in config else None),
+                         quantize_int8=bool(int(config.get("int8", 0))))
 
     from PIL import Image
 

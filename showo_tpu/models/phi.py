@@ -232,6 +232,52 @@ def fuse_parallel_mlp(params: Dict[str, Any]) -> Dict[str, Any]:
     return dict(params, layers=L)
 
 
+_QUANT_KERNELS = ("q", "k", "v", "qkv", "dense", "fc1", "fc2",
+                  "win", "wout")
+
+
+def _wk(p: Dict[str, Any]) -> jnp.ndarray:
+    """Matmul kernel access: dequantize on read for int8 serving params.
+
+    XLA fuses the astype+scale into the matmul's weight-tile loads, so
+    int8 weights halve the HBM traffic of bandwidth-bound decode steps
+    (measured 1.2x on the fused-mlp matvec shape,
+    tools/probe_int8_decode.py)."""
+    if "kernel_i8" in p:
+        return p["kernel_i8"].astype(jnp.bfloat16) * p["scale"]
+    return p["kernel"]
+
+
+def quantize_int8(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Weight-only per-output-channel symmetric int8 for the inference
+    matmul kernels (serving mode; biases / norms / embed stay bf16).
+
+    Works on any fusion state (plain, fuse_qkv, fuse_parallel_mlp) plus
+    lm_head.  Near-lossless: top-1 logit agreement tested in
+    tests/test_int8_decode.py.  The reference has no quantized path."""
+    def q(p):
+        kernel = p["kernel"]
+        amax = jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=-2,
+                       keepdims=True)
+        scale = jnp.maximum(amax / 127.0, 1e-8)
+        qk = jnp.round(kernel.astype(jnp.float32) / scale
+                       ).clip(-127, 127).astype(jnp.int8)
+        out = dict(p)
+        del out["kernel"]
+        out["kernel_i8"] = qk
+        out["scale"] = scale.astype(jnp.bfloat16)
+        return out
+
+    L = dict(params["layers"])
+    for name in _QUANT_KERNELS:
+        if name in L and "kernel" in L[name]:
+            L[name] = q(L[name])
+    out = dict(params, layers=L)
+    if "lm_head" in out:
+        out["lm_head"] = q(out["lm_head"])
+    return out
+
+
 def init_phi_params(cfg: PhiConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
     """Random init (normal 0.02) with the stacked-layer layout."""
     L, D, F, H, Dh = (cfg.num_layers, cfg.hidden_size, cfg.intermediate_size,
@@ -280,7 +326,7 @@ def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
 
     if "win" in lp:
         # fully fused parallel-residual layer (see fuse_parallel_mlp)
-        y = x @ lp["win"]["kernel"] + lp["win"]["bias"]
+        y = x @ _wk(lp["win"]) + lp["win"]["bias"]
         if (attn_meta is not None and attn_meta[0] == "pallas_fused"
                 and cache_kv is not None and static_prefix):
             # decode megakernel: qk-LN + rope + cache concat + masked
@@ -301,7 +347,7 @@ def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
             mlp_pre = y[..., 3 * D:]
             z = jnp.concatenate(
                 [attn, jax.nn.gelu(mlp_pre, approximate=True)], axis=-1)
-            return (h + z @ lp["wout"]["kernel"] + lp["wout"]["bias"],
+            return (h + z @ _wk(lp["wout"]) + lp["wout"]["bias"],
                     (ck, cv))
         qkv, mlp_pre = y[..., :3 * D], y[..., 3 * D:]
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -340,20 +386,20 @@ def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
         ).reshape(B, S, D)
         z = jnp.concatenate(
             [attn, jax.nn.gelu(mlp_pre, approximate=True)], axis=-1)
-        return h + z @ lp["wout"]["kernel"] + lp["wout"]["bias"], new_kv
+        return h + z @ _wk(lp["wout"]) + lp["wout"]["bias"], new_kv
 
     if "qkv" in lp:
         # fused projection: one wide matmul keeps the MXU busy at small
         # token counts (numerically identical to three separate matmuls)
-        qkv = x @ lp["qkv"]["kernel"] + lp["qkv"]["bias"]
+        qkv = x @ _wk(lp["qkv"]) + lp["qkv"]["bias"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, S, H, Dh)
         k = k.reshape(B, S, H, Dh)
         v = v.reshape(B, S, H, Dh)
     else:
-        q = (x @ lp["q"]["kernel"] + lp["q"]["bias"]).reshape(B, S, H, Dh)
-        k = (x @ lp["k"]["kernel"] + lp["k"]["bias"]).reshape(B, S, H, Dh)
-        v = (x @ lp["v"]["kernel"] + lp["v"]["bias"]).reshape(B, S, H, Dh)
+        q = (x @ _wk(lp["q"]) + lp["q"]["bias"]).reshape(B, S, H, Dh)
+        k = (x @ _wk(lp["k"]) + lp["k"]["bias"]).reshape(B, S, H, Dh)
+        v = (x @ _wk(lp["v"]) + lp["v"]["bias"]).reshape(B, S, H, Dh)
 
     q = layer_norm(q, lp["q_ln"]["scale"], lp["q_ln"]["bias"], cfg.layer_norm_eps)
     k = layer_norm(k, lp["k_ln"]["scale"], lp["k_ln"]["bias"], cfg.layer_norm_eps)
@@ -389,10 +435,10 @@ def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
         q, k_att, v_att, bias, attn_meta, q_positions,
         softmax_dtype=jnp.float32 if cfg.attn_fp32 else jnp.bfloat16,
     ).reshape(B, S, D)
-    attn = attn @ lp["dense"]["kernel"] + lp["dense"]["bias"]
+    attn = attn @ _wk(lp["dense"]) + lp["dense"]["bias"]
 
-    mlp = jax.nn.gelu(x @ lp["fc1"]["kernel"] + lp["fc1"]["bias"], approximate=True)
-    mlp = mlp @ lp["fc2"]["kernel"] + lp["fc2"]["bias"]
+    mlp = jax.nn.gelu(x @ _wk(lp["fc1"]) + lp["fc1"]["bias"], approximate=True)
+    mlp = mlp @ _wk(lp["fc2"]) + lp["fc2"]["bias"]
 
     return h + attn + mlp, new_kv
 
@@ -495,7 +541,7 @@ def phi_forward(
 
     h = layer_norm(h, params["final_ln"]["scale"], params["final_ln"]["bias"],
                    cfg.layer_norm_eps)
-    kernel, bias_h = params["lm_head"]["kernel"], params["lm_head"]["bias"]
+    kernel, bias_h = _wk(params["lm_head"]), params["lm_head"]["bias"]
     if lm_head_slice is not None:
         r0, r1, c0, c1 = lm_head_slice
         h = h[:, r0:r1]
