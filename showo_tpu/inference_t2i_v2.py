@@ -47,10 +47,18 @@ def build_showo2_config(config) -> Showo2Config:
         tie_word_embeddings=m.get("llm_tie_word_embeddings", True),
     )
     from showo_tpu.show_o2.dit import DiffusionHeadConfig
+    from showo_tpu.show_o2.siglip import SigLipConfig
+
+    # optional dim-override dicts for tiny e2e CLI runs (the analog of
+    # the v1 CLI's `model.showo.phi:` block); defaults = released dims
+    sig = {k: int(v) for k, v in dict(m.get("siglip", {})).items()}
+    dit_ov = {k: int(v) for k, v in dict(m.get("dit", {})).items()}
 
     return Showo2Config(
         llm=llm,
-        dit=DiffusionHeadConfig(num_layers=m.get("num_diffusion_layers", 10)),
+        siglip=SigLipConfig(**sig),
+        dit=DiffusionHeadConfig(num_layers=m.get("num_diffusion_layers", 10),
+                                **dit_ov),
         image_latent_dim=m.image_latent_dim,
         image_latent_height=m.image_latent_height,
         image_latent_width=m.image_latent_width,

@@ -137,6 +137,8 @@ def embed_images(cfg: Showo2Config, params, latents_nchw: jnp.ndarray):
             B * T, H, W, C)  # (b t) h w c
     else:
         x = jnp.transpose(latents_nchw, (0, 2, 3, 1))  # NHWC
+    # serving boundary: the VAE may run fp32 while the model is bf16
+    x = x.astype(params["image_embedder_und"]["kernel"].dtype)
     und = patch_embed_apply(params["image_embedder_und"], x, cfg.patch_size)
     gen = patch_embed_apply(params["image_embedder_gen"], x, cfg.patch_size)
 
