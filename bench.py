@@ -249,6 +249,7 @@ def bench_t2i_v2(args) -> None:
                          vae_params=vae_params, tokenizer=Tok(),
                          token_ids=ids, guidance_scale=7.5, num_steps=steps,
                          max_text_len=256,
+                         sampling_method=args.get("sampler", "euler"),
                          prefix_cache=args.get("prefix_cache", "0") != "0",
                          fuse_weights=args.get("fused", "1") != "0")
     prompts = ["a"] * B
@@ -259,8 +260,10 @@ def bench_t2i_v2(args) -> None:
         out = pipe.generate(prompts, jax.random.PRNGKey(3 + i))
     np.asarray(out[:, :2, :2])
     dt = (time.perf_counter() - t0) / iters
+    tag = "" if args.get("sampler", "euler") == "euler" \
+        else f"_{args['sampler']}"
     print(json.dumps({
-        "metric": f"showo2_t2i_images_per_min_per_chip_432px_{steps}steps",
+        "metric": f"showo2_t2i_images_per_min_per_chip_432px_{steps}steps{tag}",
         "value": round(B * 60.0 / dt, 2), "unit": "images/min/chip",
         "vs_baseline": None}))
 

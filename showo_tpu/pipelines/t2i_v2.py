@@ -62,10 +62,13 @@ class T2IV2Pipeline:
                     "dense")
         self._impl = impl
 
+        # static time grid, concrete at trace time (the dpm-solver coeffs
+        # are host-side numpy over it)
+        grid = ode_timegrid(self.num_steps,
+                            time_shifting_factor=self.time_shifting_factor)
+
         @jax.jit
         def _denoise(params, z, text_tokens, bias, modality_positions, key):
-            grid = ode_timegrid(self.num_steps,
-                                time_shifting_factor=self.time_shifting_factor)
 
             attn_meta = None
             if self._impl.startswith("pallas"):
