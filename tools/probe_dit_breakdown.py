@@ -105,6 +105,29 @@ def main():
     print(f"gather modulation:  {bench(gat, params, h, adaln, iters=iters):7.2f} ms")
     ditmod.span_modulation = orig_sm
 
+    # --- broadcast variant (M == 1): where(in_span, ada[b], 0) — a pure
+    # broadcast+select that XLA fuses into the modulate consumers, vs the
+    # einsum's materialized [B, L, 6D] dot output
+    def broadcast_sm(ada, modality_positions, L, n_chunks=6):
+        Bm, DN = ada.shape
+        B = modality_positions.shape[0]
+        pos = jnp.arange(L)
+        off = modality_positions[:, 0, 0]
+        ln = modality_positions[:, 0, 1]
+        claimed = ((pos[None, :] >= off[:, None])
+                   & (pos[None, :] < (off + ln)[:, None]))   # [B, L]
+        mod = jnp.where(claimed[:, :, None], ada.reshape(B, 1, DN), 0)
+        return jnp.split(mod, n_chunks, axis=-1), claimed
+
+    ditmod.span_modulation = broadcast_sm
+    bsel_d = jax.jit(lambda p, h, a: dit_forward(cfg, p, h, a, bias, mp))
+    bsel_p = jax.jit(lambda p, h, a: dit_forward(
+        cfg, p, h, a, None, mp,
+        attn_meta=("pallas_packed", seg, pad, last_pad, prefix)))
+    print(f"bcast mod (dense):  {bench(bsel_d, params, h, adaln, iters=iters):7.2f} ms")
+    print(f"bcast mod (packed): {bench(bsel_p, params, h, adaln, iters=iters):7.2f} ms")
+    ditmod.span_modulation = orig_sm
+
     # --- floor: the 4 matmuls per layer in the same scan structure
     def floor_fn(p, h):
         def body(x, lp):
