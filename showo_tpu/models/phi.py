@@ -60,7 +60,8 @@ class KVCache(NamedTuple):
 
     k: jnp.ndarray
     v: jnp.ndarray
-    length: jnp.ndarray  # scalar int32: number of valid positions
+    length: jnp.ndarray  # int32 valid-position count: scalar, or [B]
+    #                      per-lane lengths (continuous-batching serving)
 
     @classmethod
     def zeros(cls, cfg: PhiConfig, batch: int, max_len: int, dtype=jnp.float32):
@@ -304,6 +305,25 @@ def init_phi_params(cfg: PhiConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
     }
 
 
+def _cache_scatter(ck, cv, k, v, index):
+    """Write fresh K/V rows into the cache at ``index``.
+
+    index is a scalar (single shared decode offset) or an int32 [B] vector
+    of per-lane offsets — the continuous-batching serving path where every
+    batch lane decodes a different request at a different length
+    (showo_tpu/serving/engine.py)."""
+    if getattr(index, "ndim", 0) == 1:
+        upd = jax.vmap(
+            lambda c, x, o: jax.lax.dynamic_update_slice(c, x, (o, 0, 0)))
+        return (upd(ck, k.astype(ck.dtype), index),
+                upd(cv, v.astype(cv.dtype), index))
+    ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                      (0, index, 0, 0))
+    cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                      (0, index, 0, 0))
+    return ck, cv
+
+
 def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
            bias: Optional[jnp.ndarray], cos, sin,
            cache_kv=None, cache_index=None, attn_meta=None,
@@ -367,11 +387,7 @@ def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
             q_positions = (cache_index + jnp.arange(S)
                            if attn_meta is not None else None)
         elif cache_kv is not None:
-            ck, cv = cache_kv
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
-                                              (0, cache_index, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                              (0, cache_index, 0, 0))
+            ck, cv = _cache_scatter(*cache_kv, k, v, cache_index)
             k_att, v_att = ck, cv
             new_kv = (ck, cv)
             q_positions = (cache_index + jnp.arange(S)
@@ -419,9 +435,8 @@ def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
         q_positions = (cache_index + jnp.arange(S)
                        if attn_meta is not None else None)
     elif cache_kv is not None:
-        ck, cv = cache_kv  # [B, S_max, H, Dh]
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+        # cache_kv: [B, S_max, H, Dh]; cache_index scalar or per-lane [B]
+        ck, cv = _cache_scatter(*cache_kv, k, v, cache_index)
         k_att, v_att = ck, cv
         new_kv = (ck, cv)
         q_positions = (cache_index + jnp.arange(S)
@@ -474,6 +489,8 @@ def phi_forward(
 
     if position_ids is None:
         start = cache.length if cache is not None else 0
+        if getattr(start, "ndim", 0) == 1:    # per-lane decode offsets
+            start = start[:, None]
         position_ids = start + jnp.arange(S)[None, :]
     cos, sin = _rope_tables(position_ids, cfg.rotary_dim, cfg.rope_theta)
 

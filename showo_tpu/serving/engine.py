@@ -1,0 +1,276 @@
+"""Continuous-batching AR serving engine (iteration-level scheduling).
+
+Beyond-parity framework component: the reference serves MMU requests one
+batch at a time (inference_mmu.py loops over prompts; a static batch must
+run to the LONGEST request's budget, wasting every finished lane's decode
+steps).  This engine keeps a fixed set of batch lanes ("slots"), each
+holding an independent request at its own sequence length, and refills a
+lane the moment its request finishes — the device never decodes a lane
+that has no work beyond chunk granularity.
+
+TPU-shaped design decisions:
+  * One compiled decode-step program for ALL slots: per-lane lengths ride
+    in as an int32 [slots] vector (KVCache.length), per-lane cache writes
+    are a vmapped dynamic_update_slice (models/phi.py::_cache_scatter),
+    and the attention bias is computed from the lengths vector — no
+    recompilation as requests come and go.
+  * Chunked scheduling: decode runs ``chunk`` steps per dispatch inside a
+    lax.scan.  Host<->device latency (the usual continuous-batching tax)
+    is amortized over chunk*slots tokens; scheduling decisions happen at
+    chunk boundaries.  chunk=8-16 keeps the scheduling quantum small
+    relative to typical generation budgets while making dispatch overhead
+    negligible.
+  * Prefill compiles once per prompt-length bucket (prompts right-padded
+    to the bucket; padded key columns are bias-masked and their K/V rows
+    are overwritten as decode advances, so padding is invisible).
+  * The KV cache buffers are donated through every dispatch: XLA updates
+    them in place, nothing is reallocated per chunk.
+
+The engine core is model-agnostic (prefill/decode callables); the
+ShowoMMUServer adapter wires it to the v1 Show-o MMU path (cacheless
+reference loop: models/modeling_showo.py:183-240).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from collections import deque
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from showo_tpu.ops.masks import NEG_INF
+
+
+@dataclasses.dataclass
+class Request:
+    """One generation request."""
+
+    uid: int
+    prompt: np.ndarray                  # int32 [S]
+    max_new_tokens: int
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+    submitted_at: float = 0.0
+    first_token_at: Optional[float] = None
+    finished_at: Optional[float] = None
+
+
+def _round_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt length {n} exceeds largest bucket {buckets[-1]}")
+
+
+class ContinuousBatchingEngine:
+    """Model-agnostic slot scheduler.
+
+    prefill_for(bucket) -> fn(cache_k, cache_v, padded [1, bucket],
+        true_len, slot, key) -> (cache_k, cache_v, first_token scalar)
+    decode_chunk: fn(cache_k, cache_v, lengths [slots], tok [slots], key)
+        -> (cache_k, cache_v, lengths, tok, key, toks [chunk, slots])
+    """
+
+    def __init__(self, *, slots: int, cap: int, chunk: int,
+                 prefill_for: Callable[[int], Callable],
+                 decode_chunk: Callable,
+                 init_cache: Callable[[], Any],
+                 buckets: Sequence[int],
+                 eot_token: Optional[int] = None):
+        self.slots, self.cap, self.chunk = slots, cap, chunk
+        self.buckets = sorted(buckets)
+        self._prefill_for = prefill_for
+        self._prefill_cache: Dict[int, Callable] = {}
+        self._decode_chunk = decode_chunk
+        self.eot_token = eot_token
+        ck, cv = init_cache()
+        self.cache_k, self.cache_v = ck, cv
+        self.lengths = np.zeros(slots, np.int32)
+        self.cur_tok = np.zeros(slots, np.int32)
+        self.active: List[Optional[Request]] = [None] * slots
+        self.queue: deque = deque()
+        self._uid = 0
+
+    # -- client API ---------------------------------------------------
+
+    def submit(self, prompt: np.ndarray, max_new_tokens: int) -> Request:
+        r = Request(self._uid, np.asarray(prompt, np.int32),
+                    int(max_new_tokens), submitted_at=time.perf_counter())
+        self._uid += 1
+        self.queue.append(r)
+        return r
+
+    def run(self, key: jax.Array) -> List[Request]:
+        """Drain the queue; returns all completed requests."""
+        finished: List[Request] = []
+        while self.queue or any(r is not None for r in self.active):
+            key = self._fill_slots(key)
+            key = self._decode_once(key, finished)
+        return finished
+
+    # -- internals ----------------------------------------------------
+
+    def _prefill(self, bucket: int) -> Callable:
+        if bucket not in self._prefill_cache:
+            self._prefill_cache[bucket] = self._prefill_for(bucket)
+        return self._prefill_cache[bucket]
+
+    def _fill_slots(self, key: jax.Array) -> jax.Array:
+        for s in range(self.slots):
+            if self.active[s] is not None or not self.queue:
+                continue
+            r = self.queue.popleft()
+            S = len(r.prompt)
+            if S + r.max_new_tokens + self.chunk > self.cap:
+                raise ValueError(
+                    f"request {r.uid}: prompt {S} + budget "
+                    f"{r.max_new_tokens} does not fit cap {self.cap}")
+            bucket = _round_bucket(S, self.buckets)
+            padded = np.zeros((1, bucket), np.int32)
+            padded[0, :S] = r.prompt
+            key, k1 = jax.random.split(key)
+            self.cache_k, self.cache_v, tok0 = self._prefill(bucket)(
+                self.cache_k, self.cache_v, jnp.asarray(padded),
+                jnp.asarray(S, jnp.int32), jnp.asarray(s, jnp.int32), k1)
+            t0 = int(tok0)
+            now = time.perf_counter()
+            r.first_token_at = now
+            r.tokens.append(t0)
+            self.lengths[s] = S
+            self.cur_tok[s] = t0
+            self.active[s] = r
+            if self._finish_check(r, now):
+                self.active[s] = None
+        return key
+
+    def _finish_check(self, r: Request, now: float) -> bool:
+        if (self.eot_token is not None and r.tokens
+                and r.tokens[-1] == self.eot_token):
+            r.done = True
+        if len(r.tokens) >= r.max_new_tokens:
+            r.done = True
+        if r.done:
+            r.finished_at = now
+        return r.done
+
+    def _decode_once(self, key: jax.Array, finished: List[Request]
+                     ) -> jax.Array:
+        if not any(r is not None for r in self.active):
+            return key
+        # idle lanes decode garbage; pin their length to 0 so they never
+        # overflow the cache capacity
+        for s in range(self.slots):
+            if self.active[s] is None:
+                self.lengths[s] = 0
+        key, k1 = jax.random.split(key)
+        (self.cache_k, self.cache_v, lengths, cur, _,
+         toks) = self._decode_chunk(
+            self.cache_k, self.cache_v, jnp.asarray(self.lengths),
+            jnp.asarray(self.cur_tok), k1)
+        toks = np.asarray(toks)            # [chunk, slots]; row 0 == cur_tok
+        self.lengths = np.array(lengths)   # np.array: writable host copies
+        self.cur_tok = np.array(cur)
+        now = time.perf_counter()
+        for s in range(self.slots):
+            r = self.active[s]
+            if r is None:
+                continue
+            # toks[0, s] is the token fed this chunk (already recorded);
+            # the newly sampled tokens are toks[1:, s] + the carry
+            new = list(toks[1:, s]) + [int(self.cur_tok[s])]
+            for t in new:
+                r.tokens.append(int(t))
+                if self._finish_check(r, now):
+                    break
+            if r.done:
+                finished.append(r)
+                self.active[s] = None
+        return key
+
+
+class ShowoMMUServer:
+    """v1 Show-o MMU continuous-batching adapter.
+
+    Builds the compiled prefill/decode programs over showo_forward with
+    per-lane cache offsets.  Sampling params are static (compiled in).
+    """
+
+    def __init__(self, cfg, params, *, slots: int = 8, cap: int = 512,
+                 chunk: int = 16, buckets: Sequence[int] = (320, 384, 448),
+                 temperature: float = 1.0, top_k: Optional[int] = None,
+                 top_p: Optional[float] = None,
+                 eot_token: Optional[int] = None):
+        from showo_tpu.models.phi import KVCache
+        from showo_tpu.models.showo import showo_forward
+        from showo_tpu.ops.masks import omni_mask_mmu
+        from showo_tpu.sampling.ar import _sample_logits
+
+        self.cfg, self.params = cfg, params
+        dtype = params["showo"]["embed"].dtype
+        L = cfg.llm.num_layers
+        H, Dh = cfg.llm.num_heads, cfg.llm.head_dim
+        eoi = cfg.llm_vocab_size + 2          # [EOI] id in the unified vocab
+
+        def init_cache():
+            shape = (L, slots, cap, H, Dh)
+            return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+        def make_prefill(bucket: int):
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def prefill(cache_k, cache_v, padded, true_len, slot, key):
+                tmp = KVCache.zeros(cfg.llm, 1, bucket, dtype=dtype)
+                bias = omni_mask_mmu(padded, eoi_id=eoi, dtype=dtype)
+                cols = jnp.arange(bucket)[None, None, None, :]
+                bias = jnp.where(cols < true_len, bias, NEG_INF)
+                logits, tc = showo_forward(cfg, params, input_ids=padded,
+                                           attention_bias=bias, cache=tmp)
+                cache_k = jax.lax.dynamic_update_slice(
+                    cache_k, tc.k.astype(cache_k.dtype), (0, slot, 0, 0, 0))
+                cache_v = jax.lax.dynamic_update_slice(
+                    cache_v, tc.v.astype(cache_v.dtype), (0, slot, 0, 0, 0))
+                last = jax.lax.dynamic_index_in_dim(
+                    logits[0], true_len - 1, axis=0, keepdims=False)
+                tok0 = _sample_logits(key, last[None], temperature, top_k,
+                                      None, top_p)[0]
+                return cache_k, cache_v, tok0
+
+            return prefill
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def decode_chunk(cache_k, cache_v, lengths, tok, key):
+            kpos = jnp.arange(cap)[None, None, None, :]
+
+            def step(carry, _):
+                ck, cv, lens, tok, key = carry
+                key, k1 = jax.random.split(key)
+                bias = jnp.where(
+                    kpos < (lens[:, None, None, None] + 1), 0.0, NEG_INF
+                ).astype(dtype)
+                logits, cache = showo_forward(
+                    cfg, params, input_ids=tok[:, None],
+                    attention_bias=bias, cache=KVCache(ck, cv, lens))
+                nxt = _sample_logits(k1, logits[:, -1], temperature, top_k,
+                                     None, top_p)
+                return ((cache.k, cache.v, cache.length,
+                         nxt.astype(jnp.int32), key), tok)
+
+            (ck, cv, lens, cur, key), toks = jax.lax.scan(
+                step, (cache_k, cache_v, lengths, tok, key),
+                None, length=chunk)
+            return ck, cv, lens, cur, key, toks
+
+        self.engine = ContinuousBatchingEngine(
+            slots=slots, cap=cap, chunk=chunk, prefill_for=make_prefill,
+            decode_chunk=decode_chunk, init_cache=init_cache,
+            buckets=buckets, eot_token=eot_token)
+
+    def submit(self, prompt, max_new_tokens):
+        return self.engine.submit(prompt, max_new_tokens)
+
+    def run(self, key):
+        return self.engine.run(key)
