@@ -405,8 +405,188 @@ def bench_train(args) -> None:
         "attn_impl": tc.attn_impl, "remat": tc.remat}))
 
 
+def bench_serve(args) -> None:
+    """Continuous-batching MMU serving throughput (showo_tpu/serving).
+
+    A workload of requests with heterogeneous prompt lengths and decode
+    budgets runs through the slot engine; the comparison point is the
+    static-batch alternative (batches of `slots` requests where every
+    lane decodes to the batch's LONGEST budget — the reference's serving
+    shape, inference_mmu.py one-batch-at-a-time).  vs_baseline reports
+    the speedup over that static schedule measured in the same process.
+    """
+    import numpy as np
+
+    from showo_tpu.models.showo import (ShowoConfig, init_showo_params,
+                                        showo_mmu_generate)
+    from showo_tpu.ops.masks import omni_mask_mmu
+    from showo_tpu.serving import ShowoMMUServer
+
+    cfg = ShowoConfig()
+    params = jax.jit(lambda k: init_showo_params(cfg, k, jnp.bfloat16))(
+        jax.random.PRNGKey(0))
+    if args.get("fused_mlp", "1") != "0":
+        from showo_tpu.models.phi import fuse_parallel_mlp
+
+        params = dict(params, showo=fuse_parallel_mlp(params["showo"]))
+    if args.get("int8", "0") != "0":
+        from showo_tpu.models.phi import quantize_int8
+
+        params = dict(params, showo=jax.jit(quantize_int8)(params["showo"]))
+    slots = int(args.get("slots", 8))
+    chunk = int(args.get("chunk", 16))
+    n_req = int(args.get("requests", 32))
+    SOI, EOI, MMU = 50296, 50297, 50300
+    rng = np.random.default_rng(5)
+    reqs = []
+    for _ in range(n_req):
+        q_len = int(rng.integers(8, 64))
+        budget = int(rng.integers(16, 128))
+        img = rng.integers(50305, 58497, size=256)
+        q = rng.integers(2, 50000, size=q_len)
+        prompt = np.concatenate([[MMU, SOI], img, [EOI], q]).astype(np.int32)
+        reqs.append((prompt, budget))
+    total_tokens = sum(b for _, b in reqs)
+
+    server = ShowoMMUServer(cfg, params, slots=slots, cap=512, chunk=chunk,
+                            buckets=(320, 384, 448), temperature=1.0,
+                            top_k=1)
+    # warm up every compiled program (all buckets + decode chunk) off the
+    # clock: one synthetic request per bucket the workload can hit
+    for bucket in (320, 384, 448):
+        q = rng.integers(2, 50000, size=bucket - 261)
+        img = rng.integers(50305, 58497, size=256)
+        p = np.concatenate([[MMU, SOI], img, [EOI], q]).astype(np.int32)
+        server.submit(p, 4)
+    server.run(jax.random.PRNGKey(0))
+    for p, b in reqs:
+        server.submit(p, b)
+    t0 = time.perf_counter()
+    done = server.run(jax.random.PRNGKey(1))
+    dt = time.perf_counter() - t0
+    assert len(done) == n_req
+    tok_s = total_tokens / dt
+
+    # static-batch alternative: pad each group of `slots` prompts to one
+    # length, decode the whole batch to the group's longest budget
+    static_s = 0.0
+    pad_len = 324 + 64
+    for i in range(0, n_req, slots):
+        group = reqs[i:i + slots]
+        B = len(group)
+        ids = np.full((B, pad_len), 1, np.int32)
+        for j, (p, _) in enumerate(group):
+            ids[j, pad_len - len(p):] = p  # left-pad, reference style
+        budget = max(b for _, b in group)
+        ids_j = jnp.asarray(ids)
+        bias = omni_mask_mmu(ids_j, eoi_id=EOI, dtype=jnp.bfloat16)
+
+        @jax.jit
+        def gen(params, ids, bias, key):
+            toks, _ = showo_mmu_generate(cfg, params, ids, key,
+                                         prompt_bias=bias,
+                                         max_new_tokens=budget, top_k=1)
+            return toks
+
+        np.asarray(gen(params, ids_j, bias, jax.random.PRNGKey(2)))  # warm
+        t0 = time.perf_counter()
+        np.asarray(gen(params, ids_j, bias, jax.random.PRNGKey(3)))
+        static_s += time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "mmu_serving_tok_per_s_continuous_batching",
+        "value": round(tok_s, 2), "unit": "tok/s",
+        "vs_baseline": round(static_s / dt, 2),
+        "static_batch_tok_per_s": round(total_tokens / static_s, 2),
+        "requests": n_req, "slots": slots, "chunk": chunk}))
+
+
+def bench_serve_v2(args) -> None:
+    """Show-o2 continuous-batching MMU serving (Showo2MMUServer).
+
+    Requests are pre-assembled embedding prompts (text + time + image
+    span) with heterogeneous question lengths and budgets; reports the
+    aggregate decode tok/s across the slot engine.  Compare against
+    metric=mmu_v2 batch=1 (one request at a time, the reference's
+    serving shape): the engine keeps every lane busy.
+    """
+    import numpy as np
+
+    from showo_tpu.serving import Showo2MMUServer
+    from showo_tpu.show_o2.dit import time_embed_apply
+    from showo_tpu.show_o2.showo2 import (Showo2Config, embed_images,
+                                          fuse_inference, init_showo2_params)
+
+    cfg = Showo2Config()
+    params = jax.jit(lambda k: init_showo2_params(cfg, k, jnp.bfloat16))(
+        jax.random.PRNGKey(0))
+    if args.get("fused", "1") != "0":
+        params = fuse_inference(params)
+    if args.get("int8", "0") != "0":
+        from showo_tpu.show_o2.qwen2 import quantize_int8
+
+        params = dict(params, showo=jax.jit(quantize_int8)(params["showo"]))
+    slots = int(args.get("slots", 4))
+    chunk = int(args.get("chunk", 16))
+    n_req = int(args.get("requests", 12))
+    n_img = cfg.num_image_tokens
+    buckets = (768, 832)
+    cap = 832 + 128 + chunk
+
+    @jax.jit
+    def build_prompt(params, latents, pre, post):
+        image_embeds = embed_images(cfg, params, latents)
+        embed = params["showo"]["embed"]
+        emb_a, emb_b = embed[pre], embed[post]
+        te = time_embed_apply(params["time_embed"], jnp.ones((1,),
+                                                             jnp.float32),
+                              emb_a.dtype)
+        if "time_embed_proj" in params:
+            tp = params["time_embed_proj"]
+            te = te @ tp["kernel"] + tp["bias"]
+        return jnp.concatenate(
+            [emb_a, te[:, None, :], image_embeds, emb_b], axis=1)[0]
+
+    rng = np.random.default_rng(7)
+    reqs = []
+    for i in range(n_req):
+        q_len = int(rng.integers(8, 40))
+        budget = int(rng.integers(16, 128))
+        latents = jax.random.normal(
+            jax.random.PRNGKey(10 + i),
+            (1, cfg.image_latent_dim, cfg.image_latent_height,
+             cfg.image_latent_width), jnp.bfloat16)
+        pre = jnp.asarray(rng.integers(10, 150000, size=(1, 24)))
+        post = jnp.asarray(rng.integers(10, 150000, size=(1, q_len)))
+        emb = np.asarray(build_prompt(params, latents, pre, post))
+        reqs.append((emb, 25, budget))  # img span starts after pre + time
+    total_tokens = sum(b for _, _, b in reqs)
+
+    server = Showo2MMUServer(cfg, params, slots=slots, cap=cap, chunk=chunk,
+                             buckets=buckets, temperature=1.0, top_k=1)
+    # warm every bucket + the decode chunk off the clock
+    for b in buckets:
+        pad = np.zeros((b - 8, cfg.llm.hidden_size), np.float32)
+        server.submit(pad.astype(reqs[0][0].dtype), 25, 4)
+    server.run(jax.random.PRNGKey(0))
+    for emb, start, budget in reqs:
+        server.submit(emb, start, budget)
+    t0 = time.perf_counter()
+    done = server.run(jax.random.PRNGKey(1))
+    dt = time.perf_counter() - t0
+    assert len(done) == n_req
+    print(json.dumps({
+        "metric": "showo2_mmu_serving_tok_per_s_continuous_batching",
+        "value": round(total_tokens / dt, 2), "unit": "tok/s",
+        "vs_baseline": None, "requests": n_req, "slots": slots,
+        "chunk": chunk}))
+
+
 def main() -> None:
     args = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+    if args.get("metric") == "serve":
+        return bench_serve(args)
+    if args.get("metric") == "serve_v2":
+        return bench_serve_v2(args)
     if args.get("metric") == "train":
         return bench_train(args)
     if args.get("metric") == "mmu_v2":

@@ -1,4 +1,5 @@
 from showo_tpu.serving.engine import (ContinuousBatchingEngine, Request,
-                                      ShowoMMUServer)
+                                      Showo2MMUServer, ShowoMMUServer)
 
-__all__ = ["ContinuousBatchingEngine", "Request", "ShowoMMUServer"]
+__all__ = ["ContinuousBatchingEngine", "Request", "Showo2MMUServer",
+           "ShowoMMUServer"]

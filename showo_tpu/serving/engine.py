@@ -51,8 +51,9 @@ class Request:
     """One generation request."""
 
     uid: int
-    prompt: np.ndarray                  # int32 [S]
+    prompt: np.ndarray                  # int32 [S] ids, or [S, D] embeds
     max_new_tokens: int
+    meta: tuple = ()                    # extra per-request prefill args
     tokens: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
     submitted_at: float = 0.0
@@ -70,10 +71,18 @@ def _round_bucket(n: int, buckets: Sequence[int]) -> int:
 class ContinuousBatchingEngine:
     """Model-agnostic slot scheduler.
 
-    prefill_for(bucket) -> fn(cache_k, cache_v, padded [1, bucket],
-        true_len, slot, key) -> (cache_k, cache_v, first_token scalar)
+    prefill_for(bucket) -> fn(cache_k, cache_v, padded [1, bucket, ...],
+        true_len, slot, key, *request_meta)
+        -> (cache_k, cache_v, first_token scalar)
     decode_chunk: fn(cache_k, cache_v, lengths [slots], tok [slots], key)
         -> (cache_k, cache_v, lengths, tok, key, toks [chunk, slots])
+        where toks rows are the chunk's SAMPLED tokens (toks[-1] == tok).
+
+    The host syncs with the device exactly once per scheduling round
+    (one jax.device_get covering the chunk's tokens AND any prefill
+    first-tokens dispatched this round) — per-dispatch blocking reads
+    would pay a full host<->device round trip each, which dominates
+    wall time on remote-device links.
     """
 
     def __init__(self, *, slots: int, cap: int, chunk: int,
@@ -81,8 +90,10 @@ class ContinuousBatchingEngine:
                  decode_chunk: Callable,
                  init_cache: Callable[[], Any],
                  buckets: Sequence[int],
-                 eot_token: Optional[int] = None):
+                 eot_token: Optional[int] = None,
+                 lookahead: int = 4):
         self.slots, self.cap, self.chunk = slots, cap, chunk
+        self.lookahead = max(1, lookahead)
         self.buckets = sorted(buckets)
         self._prefill_for = prefill_for
         self._prefill_cache: Dict[int, Callable] = {}
@@ -90,17 +101,22 @@ class ContinuousBatchingEngine:
         self.eot_token = eot_token
         ck, cv = init_cache()
         self.cache_k, self.cache_v = ck, cv
-        self.lengths = np.zeros(slots, np.int32)
-        self.cur_tok = np.zeros(slots, np.int32)
+        self.lengths = np.zeros(slots, np.int32)   # host-tracked
+        self.cur_tok = jnp.zeros(slots, jnp.int32)  # device-resident
         self.active: List[Optional[Request]] = [None] * slots
         self.queue: deque = deque()
+        self._pending: List = []   # (slot, request, device tok0) to sync
         self._uid = 0
 
     # -- client API ---------------------------------------------------
 
-    def submit(self, prompt: np.ndarray, max_new_tokens: int) -> Request:
-        r = Request(self._uid, np.asarray(prompt, np.int32),
-                    int(max_new_tokens), submitted_at=time.perf_counter())
+    def submit(self, prompt: np.ndarray, max_new_tokens: int,
+               meta: tuple = ()) -> Request:
+        prompt = np.asarray(prompt)
+        if prompt.ndim == 1:            # token ids; embeds keep their dtype
+            prompt = prompt.astype(np.int32)
+        r = Request(self._uid, prompt, int(max_new_tokens), meta=tuple(meta),
+                    submitted_at=time.perf_counter())
         self._uid += 1
         self.queue.append(r)
         return r
@@ -121,31 +137,36 @@ class ContinuousBatchingEngine:
         return self._prefill_cache[bucket]
 
     def _fill_slots(self, key: jax.Array) -> jax.Array:
+        # dispatch-only: the prefill first-token stays on device (no
+        # blocking read here); _decode_once fetches it together with the
+        # chunk's tokens in one device_get
         for s in range(self.slots):
             if self.active[s] is not None or not self.queue:
                 continue
             r = self.queue.popleft()
             S = len(r.prompt)
-            if S + r.max_new_tokens + self.chunk > self.cap:
+            # overshoot margin: without EOT the lookahead window is sized
+            # so a lane never decodes more than one chunk past its budget;
+            # EOT finishes are unpredictable, so the full window can run on
+            margin = (self.chunk if self.eot_token is None
+                      else self.chunk * self.lookahead)
+            if S + r.max_new_tokens + margin > self.cap:
                 raise ValueError(
                     f"request {r.uid}: prompt {S} + budget "
                     f"{r.max_new_tokens} does not fit cap {self.cap}")
             bucket = _round_bucket(S, self.buckets)
-            padded = np.zeros((1, bucket), np.int32)
+            padded = np.zeros((1, bucket) + r.prompt.shape[1:],
+                              r.prompt.dtype)
             padded[0, :S] = r.prompt
             key, k1 = jax.random.split(key)
             self.cache_k, self.cache_v, tok0 = self._prefill(bucket)(
                 self.cache_k, self.cache_v, jnp.asarray(padded),
-                jnp.asarray(S, jnp.int32), jnp.asarray(s, jnp.int32), k1)
-            t0 = int(tok0)
-            now = time.perf_counter()
-            r.first_token_at = now
-            r.tokens.append(t0)
+                jnp.asarray(S, jnp.int32), jnp.asarray(s, jnp.int32), k1,
+                *r.meta)
             self.lengths[s] = S
-            self.cur_tok[s] = t0
+            self.cur_tok = self.cur_tok.at[s].set(tok0)
             self.active[s] = r
-            if self._finish_check(r, now):
-                self.active[s] = None
+            self._pending.append((s, r, tok0))
         return key
 
     def _finish_check(self, r: Request, now: float) -> bool:
@@ -167,23 +188,46 @@ class ContinuousBatchingEngine:
         for s in range(self.slots):
             if self.active[s] is None:
                 self.lengths[s] = 0
-        key, k1 = jax.random.split(key)
-        (self.cache_k, self.cache_v, lengths, cur, _,
-         toks) = self._decode_chunk(
-            self.cache_k, self.cache_v, jnp.asarray(self.lengths),
-            jnp.asarray(self.cur_tok), k1)
-        toks = np.asarray(toks)            # [chunk, slots]; row 0 == cur_tok
-        self.lengths = np.array(lengths)   # np.array: writable host copies
-        self.cur_tok = np.array(cur)
+        snapshot = list(self.active)
+        pend, self._pending = self._pending, []
+        pend_slots = {s for s, _, _ in pend}
+        # budget-aware lookahead: finishing times are host-predictable
+        # (modulo EOT), so dispatch enough chunks that the earliest-
+        # finishing lane still works through the window's LAST chunk —
+        # zero added idle, 1/n the sync roundtrips
+        rem = [r.max_new_tokens - len(r.tokens) - (1 if s in pend_slots
+                                                   else 0)
+               for s, r in enumerate(snapshot) if r is not None]
+        n = max(1, min(self.lookahead, -(-max(1, min(rem)) // self.chunk)))
+        toks_parts = []
+        for i in range(n):
+            key, k1 = jax.random.split(key)
+            (self.cache_k, self.cache_v, _, cur, _,
+             toks) = self._decode_chunk(
+                self.cache_k, self.cache_v, jnp.asarray(self.lengths),
+                self.cur_tok, k1)
+            self.cur_tok = cur             # stays on device
+            toks_parts.append(toks)
+            for s in range(self.slots):    # mirrors the device's advance
+                if snapshot[s] is not None:
+                    self.lengths[s] += self.chunk
+        # THE sync point: window tokens + any prefill first-tokens, 1 read
+        host = jax.device_get(tuple(toks_parts)
+                              + tuple(t for _, _, t in pend))
+        toks_h = np.concatenate(host[:n], axis=0)  # sampled [n*chunk, slots]
+        tok0s = host[n:]
         now = time.perf_counter()
+        for (s, r, _), t0 in zip(pend, tok0s):
+            r.first_token_at = now
+            r.tokens.append(int(t0))
+            if self._finish_check(r, now):
+                finished.append(r)
+                self.active[s] = None
         for s in range(self.slots):
-            r = self.active[s]
-            if r is None:
+            r = snapshot[s]
+            if r is None or r.done:
                 continue
-            # toks[0, s] is the token fed this chunk (already recorded);
-            # the newly sampled tokens are toks[1:, s] + the carry
-            new = list(toks[1:, s]) + [int(self.cur_tok[s])]
-            for t in new:
+            for t in toks_h[:, s]:
                 r.tokens.append(int(t))
                 if self._finish_check(r, now):
                     break
@@ -204,7 +248,7 @@ class ShowoMMUServer:
                  chunk: int = 16, buckets: Sequence[int] = (320, 384, 448),
                  temperature: float = 1.0, top_k: Optional[int] = None,
                  top_p: Optional[float] = None,
-                 eot_token: Optional[int] = None):
+                 eot_token: Optional[int] = None, lookahead: int = 4):
         from showo_tpu.models.phi import KVCache
         from showo_tpu.models.showo import showo_forward
         from showo_tpu.ops.masks import omni_mask_mmu
@@ -220,9 +264,13 @@ class ShowoMMUServer:
             shape = (L, slots, cap, H, Dh)
             return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
+        # params ride as a jit ARGUMENT (bound at call time), never a
+        # closure capture: closed-over weights would be baked into every
+        # compiled program as constants (~GBs duplicated per bucket)
         def make_prefill(bucket: int):
-            @functools.partial(jax.jit, donate_argnums=(0, 1))
-            def prefill(cache_k, cache_v, padded, true_len, slot, key):
+            @functools.partial(jax.jit, donate_argnums=(1, 2))
+            def prefill(params, cache_k, cache_v, padded, true_len, slot,
+                        key):
                 tmp = KVCache.zeros(cfg.llm, 1, bucket, dtype=dtype)
                 bias = omni_mask_mmu(padded, eoi_id=eoi, dtype=dtype)
                 cols = jnp.arange(bucket)[None, None, None, :]
@@ -239,10 +287,10 @@ class ShowoMMUServer:
                                       None, top_p)[0]
                 return cache_k, cache_v, tok0
 
-            return prefill
+            return lambda *a: prefill(self.params, *a)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def decode_chunk(cache_k, cache_v, lengths, tok, key):
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def decode_chunk(params, cache_k, cache_v, lengths, tok, key):
             kpos = jnp.arange(cap)[None, None, None, :]
 
             def step(carry, _):
@@ -257,7 +305,7 @@ class ShowoMMUServer:
                 nxt = _sample_logits(k1, logits[:, -1], temperature, top_k,
                                      None, top_p)
                 return ((cache.k, cache.v, cache.length,
-                         nxt.astype(jnp.int32), key), tok)
+                         nxt.astype(jnp.int32), key), nxt.astype(jnp.int32))
 
             (ck, cv, lens, cur, key), toks = jax.lax.scan(
                 step, (cache_k, cache_v, lengths, tok, key),
@@ -266,11 +314,111 @@ class ShowoMMUServer:
 
         self.engine = ContinuousBatchingEngine(
             slots=slots, cap=cap, chunk=chunk, prefill_for=make_prefill,
-            decode_chunk=decode_chunk, init_cache=init_cache,
-            buckets=buckets, eot_token=eot_token)
+            decode_chunk=lambda *a: decode_chunk(self.params, *a),
+            init_cache=init_cache, buckets=buckets, eot_token=eot_token,
+            lookahead=lookahead)
 
     def submit(self, prompt, max_new_tokens):
         return self.engine.submit(prompt, max_new_tokens)
+
+    def run(self, key):
+        return self.engine.run(key)
+
+
+class Showo2MMUServer:
+    """Show-o2 (v2) MMU continuous-batching adapter.
+
+    Requests arrive as pre-assembled input embeddings (text + time +
+    image-embed rows, the layout show-o2/inference_mmu.py:120-140 builds)
+    plus the image-span offset; prefill applies the v2 omni mask (image
+    span bidirectional, causal elsewhere) and decode is pure-causal over
+    each lane's cache (decode rows sit after every span).  GQA cache
+    per-lane offsets ride the qwen2_forward ``cache_offsets`` path.
+    """
+
+    def __init__(self, cfg, params, *, slots: int = 4, cap: int = 1024,
+                 chunk: int = 16, buckets: Sequence[int] = (512, 768),
+                 temperature: float = 1.0, top_k: Optional[int] = None,
+                 top_p: Optional[float] = None,
+                 eos_token: Optional[int] = None, lookahead: int = 4):
+        from showo_tpu.sampling.ar import _sample_logits
+        from showo_tpu.show_o2.masks import omni_attn_mask
+        from showo_tpu.show_o2.qwen2 import Qwen2KVCache, qwen2_forward
+
+        self.cfg, self.params = cfg, params
+        llm = cfg.llm
+        dtype = params["showo"]["embed"].dtype
+        L, Hkv, Dh = llm.num_layers, llm.num_kv_heads, llm.head_dim
+        n_img = cfg.num_image_tokens      # image span rows incl. time slot
+
+        def init_cache():
+            shape = (L, slots, cap, Hkv, Dh)
+            return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+        # params as jit argument, not closure capture (see ShowoMMUServer)
+        def make_prefill(bucket: int):
+            @functools.partial(jax.jit, donate_argnums=(1, 2))
+            def prefill(params, cache_k, cache_v, padded_emb, true_len, slot,
+                        key, img_start):
+                tmp = Qwen2KVCache.zeros(llm, 1, bucket, dtype=dtype)
+                mp = jnp.stack([img_start,
+                                jnp.full_like(img_start, n_img)])[None, None]
+                bias = omni_attn_mask(mp, bucket, dtype=dtype)
+                cols = jnp.arange(bucket)[None, None, None, :]
+                bias = jnp.where(cols < true_len, bias, NEG_INF)
+                logits, _, tc = qwen2_forward(
+                    llm, params["showo"], input_embeds=padded_emb,
+                    attention_bias=bias, cache=tmp)
+                cache_k = jax.lax.dynamic_update_slice(
+                    cache_k, tc.k.astype(cache_k.dtype), (0, slot, 0, 0, 0))
+                cache_v = jax.lax.dynamic_update_slice(
+                    cache_v, tc.v.astype(cache_v.dtype), (0, slot, 0, 0, 0))
+                last = jax.lax.dynamic_index_in_dim(
+                    logits[0], true_len - 1, axis=0, keepdims=False)
+                tok0 = _sample_logits(key, last[None], temperature, top_k,
+                                      None, top_p)[0]
+                return cache_k, cache_v, tok0
+
+            return lambda *a: prefill(self.params, *a)
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def decode_chunk(params, cache_k, cache_v, lengths, tok, key):
+            kpos = jnp.arange(cap)[None, None, None, :]
+            embed = params["showo"]["embed"]
+
+            def step(carry, _):
+                ck, cv, lens, tok, key = carry
+                key, k1 = jax.random.split(key)
+                bias = jnp.where(
+                    kpos < (lens[:, None, None, None] + 1), 0.0, NEG_INF
+                ).astype(dtype)
+                logits, _, cache = qwen2_forward(
+                    llm, params["showo"], input_embeds=embed[tok[:, None]],
+                    attention_bias=bias,
+                    cache=Qwen2KVCache(ck, cv, lens),
+                    position_ids=lens[:, None], cache_offsets=lens)
+                nxt = _sample_logits(k1, logits[:, -1], temperature, top_k,
+                                     None, top_p)
+                return ((cache.k, cache.v, cache.length,
+                         nxt.astype(jnp.int32), key), nxt.astype(jnp.int32))
+
+            (ck, cv, lens, cur, key), toks = jax.lax.scan(
+                step, (cache_k, cache_v, lengths, tok, key),
+                None, length=chunk)
+            return ck, cv, lens, cur, key, toks
+
+        self.engine = ContinuousBatchingEngine(
+            slots=slots, cap=cap, chunk=chunk, prefill_for=make_prefill,
+            decode_chunk=lambda *a: decode_chunk(self.params, *a),
+            init_cache=init_cache, buckets=buckets, eot_token=eos_token,
+            lookahead=lookahead)
+
+    def submit(self, input_embeds, img_start: int, max_new_tokens: int):
+        """input_embeds: [S, D] assembled prompt rows; img_start: offset of
+        the image span (incl. the time-embed slot) within those rows."""
+        return self.engine.submit(
+            np.asarray(input_embeds), max_new_tokens,
+            meta=(jnp.asarray(img_start, jnp.int32),))
 
     def run(self, key):
         return self.engine.run(key)

@@ -15,8 +15,14 @@ import jax.numpy as jnp
 from showo_tpu.models.phi import PhiConfig
 from showo_tpu.models.showo import (ShowoConfig, init_showo_params,
                                     showo_mmu_generate)
-from showo_tpu.ops.masks import omni_mask_mmu
-from showo_tpu.serving import ShowoMMUServer
+from showo_tpu.ops.masks import NEG_INF, omni_mask_mmu
+from showo_tpu.sampling.ar import ar_generate
+from showo_tpu.serving import Showo2MMUServer, ShowoMMUServer
+from showo_tpu.show_o2.dit import DiffusionHeadConfig
+from showo_tpu.show_o2.masks import omni_attn_mask
+from showo_tpu.show_o2.qwen2 import Qwen2Config, Qwen2KVCache, qwen2_forward
+from showo_tpu.show_o2.showo2 import Showo2Config, init_showo2_params
+from showo_tpu.show_o2.siglip import SigLipConfig
 
 CFG = ShowoConfig(
     vocab_size=120, llm_vocab_size=100, num_new_special_tokens=3,
@@ -75,6 +81,81 @@ def test_engine_slot_reuse_and_accounting(params):
     for h in handles:
         assert len(h.tokens) == 6
         assert h.first_token_at is not None and h.finished_at is not None
+
+
+V2 = Showo2Config(
+    llm=Qwen2Config(vocab_size=200, hidden_size=64, intermediate_size=128,
+                    num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16),
+    siglip=SigLipConfig(hidden_size=48, intermediate_size=96, num_heads=4,
+                        num_layers=2, num_positions=9),
+    dit=DiffusionHeadConfig(hidden_size=96, intermediate_size=192,
+                            num_heads=4, num_kv_heads=2, head_dim=24,
+                            num_layers=2),
+    image_latent_dim=4, image_latent_height=6, image_latent_width=6,
+    patch_size=2, clip_latent_dim=48,
+)
+N_IMG = V2.num_image_tokens
+
+
+@pytest.fixture(scope="module")
+def params_v2():
+    return init_showo2_params(V2, jax.random.PRNGKey(1))
+
+
+def _v2_prompt(rng, text_len):
+    """Assembled MMU embedding rows: text, then the image span, then text."""
+    D = V2.llm.hidden_size
+    img_start = 3
+    S = text_len + N_IMG + 3
+    rows = rng.normal(size=(S, D)).astype(np.float32) * 0.02
+    return rows, img_start
+
+
+def _reference_v2(params, emb, img_start, budget):
+    """Standalone per-request greedy decode (the mmu_v2 pipeline loop)."""
+    S = emb.shape[0]
+    mp = jnp.asarray([[[img_start, N_IMG]]])
+    bias = omni_attn_mask(mp, S)
+    cap = S + budget + 4
+
+    def prefill(_ids, pb):
+        cache = Qwen2KVCache.zeros(V2.llm, 1, cap, dtype=jnp.float32)
+        pad = cap - pb.shape[-1]
+        pb = jnp.pad(pb, ((0, 0), (0, 0), (0, 0), (0, pad)),
+                     constant_values=NEG_INF)
+        logits, _, cache = qwen2_forward(
+            V2.llm, params["showo"], input_embeds=jnp.asarray(emb)[None],
+            attention_bias=pb, cache=cache)
+        return logits, cache
+
+    def decode(tok_ids, b, cache):
+        e = params["showo"]["embed"][tok_ids]
+        logits, _, cache = qwen2_forward(V2.llm, params["showo"],
+                                         input_embeds=e, attention_bias=b,
+                                         cache=cache)
+        return logits, cache
+
+    toks, _ = ar_generate(prefill, decode, jnp.zeros((1, S), jnp.int32),
+                          jax.random.PRNGKey(7), max_new_tokens=budget,
+                          temperature=1.0, top_k=1, prompt_bias=bias)
+    return list(np.asarray(toks)[0])
+
+
+def test_v2_engine_matches_per_request_greedy(params_v2):
+    rng = np.random.default_rng(11)
+    reqs = [(_v2_prompt(rng, t)[0], 3, b)
+            for t, b in [(2, 5), (6, 8), (1, 4), (9, 6), (4, 9)]]
+
+    server = Showo2MMUServer(V2, params_v2, slots=2, cap=64, chunk=3,
+                             buckets=(20, 28), temperature=1.0, top_k=1)
+    handles = [server.submit(e, s, b) for e, s, b in reqs]
+    done = server.run(jax.random.PRNGKey(13))
+
+    assert len(done) == len(reqs)
+    for h, (emb, img_start, budget) in zip(handles, reqs):
+        assert h.done and len(h.tokens) == budget
+        assert h.tokens == _reference_v2(params_v2, emb, img_start, budget), \
+            f"v2 request {h.uid} diverged"
 
 
 def test_engine_eot_frees_slot(params):
