@@ -158,6 +158,84 @@ def test_v2_engine_matches_per_request_greedy(params_v2):
             f"v2 request {h.uid} diverged"
 
 
+def test_serve_cli_end_to_end(tmp_path, monkeypatch):
+    """inference_serve drives the engine from a requests.jsonl: config
+    loading, VQ encode, prompt assembly, serve, decode, out jsonl."""
+    import json
+    import sys
+
+    from PIL import Image
+
+    import showo_tpu.inference_serve as serve_mod
+    from showo_tpu.models.magvit import MagvitV2, VQConfig
+    from showo_tpu.models.showo import ShowoConfig as SC
+
+    vq_tiny = VQConfig(ch=32, enc_ch_mult=(1, 2), enc_num_res_blocks=(1, 1),
+                       dec_ch_mult=(1, 2), dec_num_res_blocks=(1, 1),
+                       z_channels=4)
+    showo_tiny = SC(
+        vocab_size=1027, llm_vocab_size=1010, num_new_special_tokens=0,
+        codebook_size=16, num_vq_tokens=16,
+        llm=PhiConfig(vocab_size=1027, hidden_size=64,
+                      intermediate_size=128, num_layers=2, num_heads=4))
+    monkeypatch.setattr(serve_mod, "build_showo_config",
+                        lambda c: showo_tiny)
+
+    def tiny_vq(config):
+        model = MagvitV2(vq_tiny)
+        p = model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 8, 8, 3)))["params"]
+        return vq_tiny, p
+
+    monkeypatch.setattr(serve_mod, "load_vq", tiny_vq)
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+
+    img_paths = []
+    for i in range(2):
+        p = tmp_path / f"img{i}.png"
+        Image.new("RGB", (8, 8), (i * 90, 40, 10)).save(p)
+        img_paths.append(str(p))
+    reqs = tmp_path / "requests.jsonl"
+    with open(reqs, "w") as f:
+        f.write(json.dumps({"image": img_paths[0],
+                            "question": "what color"}) + "\n")
+        f.write(json.dumps({"image": img_paths[1], "question": "describe",
+                            "max_new_tokens": 7}) + "\n")
+        f.write(json.dumps({"image": img_paths[0],
+                            "question": "is it big"}) + "\n")
+    cfg = tmp_path / "serve.yaml"
+    cfg.write_text(f"""
+model:
+  showo:
+    pretrained_model_path: random
+    llm_model_path: none
+    vocab_size: 1027
+    llm_vocab_size: 1010
+    num_new_special_tokens: 0
+    codebook_size: 16
+    num_vq_tokens: 16
+  vq_model:
+    vq_model_name: random
+dataset:
+  params:
+    resolution: 8
+  preprocessing:
+    max_seq_length: 40
+""")
+    out = tmp_path / "answers.jsonl"
+    monkeypatch.setattr(sys, "argv", [
+        "x", f"config={cfg}", f"requests={reqs}", f"out={out}",
+        "slots=2", "chunk=3", "max_new_tokens=5"])
+    serve_mod.main()
+
+    lines = [json.loads(l) for l in open(out)]
+    assert len(lines) == 3
+    assert lines[1]["question"] == "describe"
+    assert len(lines[1]["tokens"]) <= 7 and lines[1]["tokens"]
+    for l in lines:
+        assert "answer" in l and l["ttft_s"] is not None
+
+
 def test_engine_eot_frees_slot(params):
     """A request hitting EOT finishes early; its slot serves the queue."""
     rng = np.random.default_rng(9)
