@@ -158,6 +158,33 @@ def test_v2_engine_matches_per_request_greedy(params_v2):
             f"v2 request {h.uid} diverged"
 
 
+@pytest.mark.slow
+def test_serving_engine_on_mesh(params):
+    """The engine's compiled programs span a dp/fsdp/tp mesh unchanged —
+    sharded params ride in as jit arguments, the compiler places the
+    cache — and the slot scheduling stays token-exact vs the standalone
+    per-request decode run under the SAME mesh (sharded vs unsharded
+    numerics may differ: tp reduction order can flip greedy near-ties,
+    so the comparison point is sharded-to-sharded)."""
+    from showo_tpu.parallel.mesh import make_mesh, shard_params
+
+    rng = np.random.default_rng(21)
+    reqs = [(_prompt(rng, q), b) for q, b in [(3, 5), (7, 8), (2, 4)]]
+
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    with jax.set_mesh(mesh):
+        sharded = shard_params(params, mesh)
+        server = ShowoMMUServer(CFG, sharded, slots=2, cap=48, chunk=3,
+                                buckets=(16, 24), temperature=1.0, top_k=1)
+        handles = [server.submit(pr, b) for pr, b in reqs]
+        done = server.run(jax.random.PRNGKey(3))
+        assert len(done) == len(reqs)
+        for h, (prompt, budget) in zip(handles, reqs):
+            assert len(h.tokens) == budget
+            assert h.tokens == _reference(sharded, prompt, budget), \
+                f"sharded request {h.uid} diverged from sharded reference"
+
+
 def test_serve_cli_end_to_end(tmp_path, monkeypatch):
     """inference_serve drives the engine from a requests.jsonl: config
     loading, VQ encode, prompt assembly, serve, decode, out jsonl."""
