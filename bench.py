@@ -435,6 +435,7 @@ def bench_serve(args) -> None:
         params = dict(params, showo=jax.jit(quantize_int8)(params["showo"]))
     slots = int(args.get("slots", 8))
     chunk = int(args.get("chunk", 16))
+    spec = int(args.get("spec", 0))  # prompt-lookup speculative draft len
     n_req = int(args.get("requests", 32))
     SOI, EOI, MMU = 50296, 50297, 50300
     rng = np.random.default_rng(5)
@@ -448,9 +449,11 @@ def bench_serve(args) -> None:
         reqs.append((prompt, budget))
     total_tokens = sum(b for _, b in reqs)
 
-    server = ShowoMMUServer(cfg, params, slots=slots, cap=512, chunk=chunk,
+    # margin: one window-chunk of steps, (spec+1) tokens each (no EOT)
+    cap = -(-(324 + 128 + chunk * (spec + 1)) // 64) * 64
+    server = ShowoMMUServer(cfg, params, slots=slots, cap=cap, chunk=chunk,
                             buckets=(320, 384, 448), temperature=1.0,
-                            top_k=1)
+                            top_k=1, speculative_k=spec)
     # warm up every compiled program (all buckets + decode chunk) off the
     # clock: one synthetic request per bucket the workload can hit
     for bucket in (320, 384, 448):
@@ -459,6 +462,7 @@ def bench_serve(args) -> None:
         p = np.concatenate([[MMU, SOI], img, [EOI], q]).astype(np.int32)
         server.submit(p, 4)
     server.run(jax.random.PRNGKey(0))
+    server.engine.stat_steps = 0
     for p, b in reqs:
         server.submit(p, b)
     t0 = time.perf_counter()
@@ -492,12 +496,17 @@ def bench_serve(args) -> None:
         t0 = time.perf_counter()
         np.asarray(gen(params, ids_j, bias, jax.random.PRNGKey(3)))
         static_s += time.perf_counter() - t0
-    print(json.dumps({
+    out = {
         "metric": "mmu_serving_tok_per_s_continuous_batching",
         "value": round(tok_s, 2), "unit": "tok/s",
         "vs_baseline": round(static_s / dt, 2),
         "static_batch_tok_per_s": round(total_tokens / static_s, 2),
-        "requests": n_req, "slots": slots, "chunk": chunk}))
+        "requests": n_req, "slots": slots, "chunk": chunk}
+    if spec:
+        steps = max(1, server.engine.stat_steps)
+        out["speculative_k"] = spec
+        out["tokens_per_lane_step"] = round(total_tokens / (steps * slots), 3)
+    print(json.dumps(out))
 
 
 def bench_serve_v2(args) -> None:

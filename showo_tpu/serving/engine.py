@@ -75,8 +75,11 @@ class ContinuousBatchingEngine:
         true_len, slot, key, *request_meta)
         -> (cache_k, cache_v, first_token scalar)
     decode_chunk: fn(cache_k, cache_v, lengths [slots], tok [slots], key)
-        -> (cache_k, cache_v, lengths, tok, key, toks [chunk, slots])
-        where toks rows are the chunk's SAMPLED tokens (toks[-1] == tok).
+        -> (cache_k, cache_v, lengths, tok, key,
+            toks [chunk, slots, T], nvalid [chunk, slots])
+        where toks[c, s, :nvalid[c, s]] are the tokens lane s SAMPLED at
+        step c (T == max_tokens_per_step: 1 for plain AR decode, k+1 for
+        speculative decode where up to k drafted tokens verify per step).
 
     The host syncs with the device exactly once per scheduling round
     (one jax.device_get covering the chunk's tokens AND any prefill
@@ -91,9 +94,11 @@ class ContinuousBatchingEngine:
                  init_cache: Callable[[], Any],
                  buckets: Sequence[int],
                  eot_token: Optional[int] = None,
-                 lookahead: int = 4):
+                 lookahead: int = 4,
+                 max_tokens_per_step: int = 1):
         self.slots, self.cap, self.chunk = slots, cap, chunk
         self.lookahead = max(1, lookahead)
+        self.max_tokens_per_step = max(1, max_tokens_per_step)
         self.buckets = sorted(buckets)
         self._prefill_for = prefill_for
         self._prefill_cache: Dict[int, Callable] = {}
@@ -107,6 +112,7 @@ class ContinuousBatchingEngine:
         self.queue: deque = deque()
         self._pending: List = []   # (slot, request, device tok0) to sync
         self._uid = 0
+        self.stat_steps = 0        # decode steps dispatched (all lanes)
 
     # -- client API ---------------------------------------------------
 
@@ -146,10 +152,13 @@ class ContinuousBatchingEngine:
             r = self.queue.popleft()
             S = len(r.prompt)
             # overshoot margin: without EOT the lookahead window is sized
-            # so a lane never decodes more than one chunk past its budget;
-            # EOT finishes are unpredictable, so the full window can run on
-            margin = (self.chunk if self.eot_token is None
-                      else self.chunk * self.lookahead)
+            # so a lane never finishes before the window's last chunk
+            # (ceil for plain decode, full-acceptance floor for
+            # speculative), so overshoot stays under one chunk of steps;
+            # EOT finishes are unpredictable and the full window can run on
+            per_chunk = self.chunk * self.max_tokens_per_step
+            margin = (per_chunk if self.eot_token is None
+                      else per_chunk * self.lookahead)
             if S + r.max_new_tokens + margin > self.cap:
                 raise ValueError(
                     f"request {r.uid}: prompt {S} + budget "
@@ -192,30 +201,44 @@ class ContinuousBatchingEngine:
         pend, self._pending = self._pending, []
         pend_slots = {s for s, _, _ in pend}
         # budget-aware lookahead: finishing times are host-predictable
-        # (modulo EOT), so dispatch enough chunks that the earliest-
-        # finishing lane still works through the window's LAST chunk —
-        # zero added idle, 1/n the sync roundtrips
+        # (modulo EOT / speculative acceptance), so dispatch enough chunks
+        # that the earliest-finishing lane still works through the
+        # window's LAST chunk — zero added idle, 1/n the sync roundtrips
         rem = [r.max_new_tokens - len(r.tokens) - (1 if s in pend_slots
                                                    else 0)
                for s, r in enumerate(snapshot) if r is not None]
-        n = max(1, min(self.lookahead, -(-max(1, min(rem)) // self.chunk)))
-        toks_parts = []
+        denom = self.chunk * self.max_tokens_per_step
+        if self.max_tokens_per_step == 1:
+            n = max(1, min(self.lookahead, -(-max(1, min(rem)) // denom)))
+        else:  # acceptance varies: floor = conservative window
+            n = max(1, min(self.lookahead, max(1, min(rem)) // denom))
+        toks_parts, nvalid_parts = [], []
+        # first dispatch uploads the host lengths (refills / idle-lane
+        # pins); later window dispatches consume the device-returned lens
+        # directly — slot state cannot change mid-window, so nothing
+        # blocks until the sync below
+        lens = jnp.asarray(self.lengths)
         for i in range(n):
             key, k1 = jax.random.split(key)
-            (self.cache_k, self.cache_v, _, cur, _,
-             toks) = self._decode_chunk(
-                self.cache_k, self.cache_v, jnp.asarray(self.lengths),
-                self.cur_tok, k1)
+            (self.cache_k, self.cache_v, lens, cur, _, toks,
+             nvalid) = self._decode_chunk(
+                self.cache_k, self.cache_v, lens, self.cur_tok, k1)
             self.cur_tok = cur             # stays on device
             toks_parts.append(toks)
-            for s in range(self.slots):    # mirrors the device's advance
-                if snapshot[s] is not None:
-                    self.lengths[s] += self.chunk
-        # THE sync point: window tokens + any prefill first-tokens, 1 read
-        host = jax.device_get(tuple(toks_parts)
+            nvalid_parts.append(nvalid)
+            self.stat_steps += self.chunk
+        # THE sync point: window tokens + final lengths + any prefill
+        # first-tokens, one read
+        host = jax.device_get((lens,) + tuple(toks_parts)
+                              + tuple(nvalid_parts)
                               + tuple(t for _, _, t in pend))
-        toks_h = np.concatenate(host[:n], axis=0)  # sampled [n*chunk, slots]
-        tok0s = host[n:]
+        lens_h = host[0]
+        toks_h = np.concatenate(host[1:1 + n], axis=0)  # [n*chunk, slots, T]
+        nvalid_h = np.concatenate(host[1 + n:1 + 2 * n], axis=0)
+        tok0s = host[1 + 2 * n:]
+        for s in range(self.slots):
+            if snapshot[s] is not None:
+                self.lengths[s] = lens_h[s]
         now = time.perf_counter()
         for (s, r, _), t0 in zip(pend, tok0s):
             r.first_token_at = now
@@ -227,9 +250,12 @@ class ContinuousBatchingEngine:
             r = snapshot[s]
             if r is None or r.done:
                 continue
-            for t in toks_h[:, s]:
-                r.tokens.append(int(t))
-                if self._finish_check(r, now):
+            for c in range(toks_h.shape[0]):
+                for t in toks_h[c, s, :nvalid_h[c, s]]:
+                    r.tokens.append(int(t))
+                    if self._finish_check(r, now):
+                        break
+                if r.done:
                     break
             if r.done:
                 finished.append(r)
@@ -248,7 +274,8 @@ class ShowoMMUServer:
                  chunk: int = 16, buckets: Sequence[int] = (320, 384, 448),
                  temperature: float = 1.0, top_k: Optional[int] = None,
                  top_p: Optional[float] = None,
-                 eot_token: Optional[int] = None, lookahead: int = 4):
+                 eot_token: Optional[int] = None, lookahead: int = 4,
+                 speculative_k: int = 0):
         from showo_tpu.models.phi import KVCache
         from showo_tpu.models.showo import showo_forward
         from showo_tpu.ops.masks import omni_mask_mmu
@@ -310,13 +337,28 @@ class ShowoMMUServer:
             (ck, cv, lens, cur, key), toks = jax.lax.scan(
                 step, (cache_k, cache_v, lengths, tok, key),
                 None, length=chunk)
-            return ck, cv, lens, cur, key, toks
+            return (ck, cv, lens, cur, key, toks[..., None],
+                    jnp.ones_like(toks))
+
+        decode_wrapper = lambda *a: decode_chunk(self.params, *a)
+        if speculative_k:
+            # prompt-lookup speculative decoding: greedy-exact, up to
+            # speculative_k extra tokens per verify step (speculative.py)
+            assert top_k == 1 and (top_p is None or top_p >= 1.0), \
+                "speculative decoding is exact for greedy (top_k=1) only"
+            from showo_tpu.serving.speculative import build_v1_speculative
+
+            self.buf = jnp.zeros((slots, cap), jnp.int32)
+            make_prefill, decode_wrapper = build_v1_speculative(
+                self, cfg, dtype=dtype, eoi=eoi, cap=cap, chunk=chunk,
+                draft_k=speculative_k)
 
         self.engine = ContinuousBatchingEngine(
             slots=slots, cap=cap, chunk=chunk, prefill_for=make_prefill,
-            decode_chunk=lambda *a: decode_chunk(self.params, *a),
+            decode_chunk=decode_wrapper,
             init_cache=init_cache, buckets=buckets, eot_token=eot_token,
-            lookahead=lookahead)
+            lookahead=lookahead,
+            max_tokens_per_step=1 + speculative_k)
 
     def submit(self, prompt, max_new_tokens):
         return self.engine.submit(prompt, max_new_tokens)
@@ -405,7 +447,8 @@ class Showo2MMUServer:
             (ck, cv, lens, cur, key), toks = jax.lax.scan(
                 step, (cache_k, cache_v, lengths, tok, key),
                 None, length=chunk)
-            return ck, cv, lens, cur, key, toks
+            return (ck, cv, lens, cur, key, toks[..., None],
+                    jnp.ones_like(toks))
 
         self.engine = ContinuousBatchingEngine(
             slots=slots, cap=cap, chunk=chunk, prefill_for=make_prefill,

@@ -47,7 +47,9 @@ def mp_results(tmp_path_factory):
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=600)
+            # generous: two fresh processes each compile the fused steps;
+            # under a loaded machine (parallel pytest) 600 s has tripped
+            out, err = p.communicate(timeout=1200)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

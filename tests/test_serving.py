@@ -158,6 +158,34 @@ def test_v2_engine_matches_per_request_greedy(params_v2):
             f"v2 request {h.uid} diverged"
 
 
+def test_speculative_engine_token_exact(params):
+    """Prompt-lookup speculative decoding is pure acceleration: greedy
+    output through the speculative engine must be TOKEN-EXACT vs the
+    standalone greedy decode, whatever the drafts did (accept/reject
+    bookkeeping, per-lane buffers, variable per-step advance)."""
+    rng = np.random.default_rng(17)
+    # repetitive questions raise draft acceptance so both the accept and
+    # reject paths actually run
+    reqs = []
+    for q_len, b in [(6, 9), (3, 12), (8, 5), (4, 14)]:
+        p = _prompt(rng, q_len)
+        p[-q_len:] = np.tile(p[-q_len:][:2], q_len // 2 + 1)[:q_len]
+        reqs.append((p, b))
+
+    server = ShowoMMUServer(CFG, params, slots=2, cap=64, chunk=3,
+                            buckets=(16, 24), temperature=1.0, top_k=1,
+                            speculative_k=3)
+    handles = [server.submit(p, b) for p, b in reqs]
+    done = server.run(jax.random.PRNGKey(29))
+
+    assert len(done) == len(reqs)
+    for h, (prompt, budget) in zip(handles, reqs):
+        assert h.done and len(h.tokens) == budget
+        assert h.tokens == _reference(params, prompt, budget), \
+            f"speculative request {h.uid} diverged from greedy"
+    assert server.engine.stat_steps > 0
+
+
 @pytest.mark.slow
 def test_serving_engine_on_mesh(params):
     """The engine's compiled programs span a dp/fsdp/tp mesh unchanged —
