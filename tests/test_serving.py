@@ -291,6 +291,69 @@ dataset:
         assert "answer" in l and l["ttft_s"] is not None
 
 
+def test_serve_cli_v2_end_to_end(tmp_path, monkeypatch):
+    """inference_serve v2=1: embed assembly (VAE + dual-path embedder +
+    chat scaffold) through Showo2MMUServer, answers to out jsonl."""
+    import dataclasses
+    import json
+    import sys
+
+    from PIL import Image
+
+    import showo_tpu.inference_mmu_v2 as mmu_v2_mod
+    import showo_tpu.inference_serve as serve_mod
+    import showo_tpu.inference_t2i_v2 as t2i_v2_mod
+    from showo_tpu.show_o2.wan_vae import WanVAEConfig, init_wan_vae_params
+
+    # z must be 16: wan_encode normalizes by the (16,)-channel Wan
+    # latent mean/std constants
+    cli_cfg = dataclasses.replace(V2, image_latent_dim=16)
+    cli_params = init_showo2_params(cli_cfg, jax.random.PRNGKey(6))
+    vae_cfg = WanVAEConfig(dim=16, z_dim=16, dim_mult=(1, 2),
+                           num_res_blocks=1, temperal_downsample=(True,))
+    vae_params = init_wan_vae_params(vae_cfg, jax.random.PRNGKey(5))
+    monkeypatch.setattr(t2i_v2_mod, "build_showo2_config",
+                        lambda c: cli_cfg)
+    monkeypatch.setattr(mmu_v2_mod, "load_models",
+                        lambda config, cfg: (cli_params, vae_cfg,
+                                             vae_params))
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+
+    img = tmp_path / "img.png"
+    Image.new("RGB", (12, 12), (120, 40, 10)).save(img)
+    reqs = tmp_path / "requests.jsonl"
+    with open(reqs, "w") as f:
+        f.write(json.dumps({"image": str(img),
+                            "question": "what is shown"}) + "\n")
+        f.write(json.dumps({"image": str(img), "question": "how many",
+                            "max_new_tokens": 4}) + "\n")
+    cfg = tmp_path / "serve_v2.yaml"
+    cfg.write_text("""
+model:
+  showo:
+    pretrained_model_path: random
+    llm_model_path: none
+  vae_model:
+    pretrained_model_path: none
+dataset:
+  preprocessing:
+    resolution: 12
+""")
+    out = tmp_path / "answers.jsonl"
+    monkeypatch.setattr(sys, "argv", [
+        "x", f"config={cfg}", f"requests={reqs}", f"out={out}",
+        "v2=1", "slots=2", "chunk=3", "max_new_tokens=6"])
+    serve_mod.main()
+
+    lines = [json.loads(l) for l in open(out)]
+    assert len(lines) == 2
+    for l in lines:
+        # tokens may be empty if the fake eos fires immediately; the
+        # fields and timings must still be present
+        assert "answer" in l and "tokens" in l and l["ttft_s"] is not None
+    assert len(lines[1]["tokens"]) <= 4
+
+
 def test_engine_eot_frees_slot(params):
     """A request hitting EOT finishes early; its slot serves the queue."""
     rng = np.random.default_rng(9)
