@@ -536,10 +536,11 @@ def bench_serve_v2(args) -> None:
         params = dict(params, showo=jax.jit(quantize_int8)(params["showo"]))
     slots = int(args.get("slots", 4))
     chunk = int(args.get("chunk", 16))
+    spec = int(args.get("spec", 0))
     n_req = int(args.get("requests", 12))
     n_img = cfg.num_image_tokens
     buckets = (768, 832)
-    cap = 832 + 128 + chunk
+    cap = 832 + 128 + chunk * (spec + 1)
 
     @jax.jit
     def build_prompt(params, latents, pre, post):
@@ -567,27 +568,42 @@ def bench_serve_v2(args) -> None:
         pre = jnp.asarray(rng.integers(10, 150000, size=(1, 24)))
         post = jnp.asarray(rng.integers(10, 150000, size=(1, q_len)))
         emb = np.asarray(build_prompt(params, latents, pre, post))
-        reqs.append((emb, 25, budget))  # img span starts after pre + time
-    total_tokens = sum(b for _, _, b in reqs)
+        # img span starts after pre + time; question ids seed the
+        # speculative lookup corpus
+        reqs.append((emb, 25, budget, np.asarray(post[0])))
+    total_tokens = sum(b for _, _, b, _ in reqs)
 
     server = Showo2MMUServer(cfg, params, slots=slots, cap=cap, chunk=chunk,
-                             buckets=buckets, temperature=1.0, top_k=1)
+                             buckets=buckets, temperature=1.0, top_k=1,
+                             speculative_k=spec)
+
+    def submit(emb, start, budget, ids):
+        if spec:
+            return server.submit(emb, start, budget, lookup_ids=ids)
+        return server.submit(emb, start, budget)
+
     # warm every bucket + the decode chunk off the clock
     for b in buckets:
         pad = np.zeros((b - 8, cfg.llm.hidden_size), np.float32)
-        server.submit(pad.astype(reqs[0][0].dtype), 25, 4)
+        submit(pad.astype(reqs[0][0].dtype), 25, 4, np.zeros(4, np.int32))
     server.run(jax.random.PRNGKey(0))
-    for emb, start, budget in reqs:
-        server.submit(emb, start, budget)
+    server.engine.stat_steps = 0
+    for emb, start, budget, ids in reqs:
+        submit(emb, start, budget, ids)
     t0 = time.perf_counter()
     done = server.run(jax.random.PRNGKey(1))
     dt = time.perf_counter() - t0
     assert len(done) == n_req
-    print(json.dumps({
+    out = {
         "metric": "showo2_mmu_serving_tok_per_s_continuous_batching",
         "value": round(total_tokens / dt, 2), "unit": "tok/s",
         "vs_baseline": None, "requests": n_req, "slots": slots,
-        "chunk": chunk}))
+        "chunk": chunk}
+    if spec:
+        steps = max(1, server.engine.stat_steps)
+        out["speculative_k"] = spec
+        out["tokens_per_lane_step"] = round(total_tokens / (steps * slots), 3)
+    print(json.dumps(out))
 
 
 def main() -> None:

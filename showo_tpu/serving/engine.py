@@ -382,7 +382,8 @@ class Showo2MMUServer:
                  chunk: int = 16, buckets: Sequence[int] = (512, 768),
                  temperature: float = 1.0, top_k: Optional[int] = None,
                  top_p: Optional[float] = None,
-                 eos_token: Optional[int] = None, lookahead: int = 4):
+                 eos_token: Optional[int] = None, lookahead: int = 4,
+                 speculative_k: int = 0):
         from showo_tpu.sampling.ar import _sample_logits
         from showo_tpu.show_o2.masks import omni_attn_mask
         from showo_tpu.show_o2.qwen2 import Qwen2KVCache, qwen2_forward
@@ -450,18 +451,42 @@ class Showo2MMUServer:
             return (ck, cv, lens, cur, key, toks[..., None],
                     jnp.ones_like(toks))
 
+        decode_wrapper = lambda *a: decode_chunk(self.params, *a)
+        self._spec = speculative_k
+        self._cap = cap
+        if speculative_k:
+            assert top_k == 1 and (top_p is None or top_p >= 1.0), \
+                "speculative decoding is exact for greedy (top_k=1) only"
+            from showo_tpu.serving.speculative import build_v2_speculative
+
+            self.buf = jnp.zeros((slots, cap), jnp.int32)
+            make_prefill, decode_wrapper = build_v2_speculative(
+                self, cfg, dtype=dtype, n_img=n_img, cap=cap, chunk=chunk,
+                draft_k=speculative_k)
+
         self.engine = ContinuousBatchingEngine(
             slots=slots, cap=cap, chunk=chunk, prefill_for=make_prefill,
-            decode_chunk=lambda *a: decode_chunk(self.params, *a),
+            decode_chunk=decode_wrapper,
             init_cache=init_cache, buckets=buckets, eot_token=eos_token,
-            lookahead=lookahead)
+            lookahead=lookahead,
+            max_tokens_per_step=1 + speculative_k)
 
-    def submit(self, input_embeds, img_start: int, max_new_tokens: int):
+    def submit(self, input_embeds, img_start: int, max_new_tokens: int,
+               lookup_ids=None):
         """input_embeds: [S, D] assembled prompt rows; img_start: offset of
-        the image span (incl. the time-embed slot) within those rows."""
-        return self.engine.submit(
-            np.asarray(input_embeds), max_new_tokens,
-            meta=(jnp.asarray(img_start, jnp.int32),))
+        the image span (incl. the time-embed slot) within those rows.
+        lookup_ids (speculative mode): token ids of the TRAILING text rows
+        (e.g. the question) — they seed the n-gram draft corpus at their
+        true sequence positions."""
+        emb = np.asarray(input_embeds)
+        meta = [jnp.asarray(img_start, jnp.int32)]
+        if self._spec:
+            row = np.full(self._cap, -1, np.int32)
+            if lookup_ids is not None and len(lookup_ids):
+                ids = np.asarray(lookup_ids, np.int32)
+                row[emb.shape[0] - len(ids):emb.shape[0]] = ids
+            meta.append(jnp.asarray(row))
+        return self.engine.submit(emb, max_new_tokens, meta=tuple(meta))
 
     def run(self, key):
         return self.engine.run(key)

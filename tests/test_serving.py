@@ -186,6 +186,27 @@ def test_speculative_engine_token_exact(params):
     assert server.engine.stat_steps > 0
 
 
+def test_speculative_v2_token_exact(params_v2):
+    """v2 speculative decoding (embeds prompts, -1-masked token ring
+    seeded by lookup_ids) stays token-exact vs plain greedy."""
+    rng = np.random.default_rng(31)
+    reqs = [(_v2_prompt(rng, t)[0], 3, b, list(rng.integers(2, 190, size=t)))
+            for t, b in [(4, 10), (6, 7), (3, 12)]]
+
+    server = Showo2MMUServer(V2, params_v2, slots=2, cap=72, chunk=3,
+                             buckets=(20, 28), temperature=1.0, top_k=1,
+                             speculative_k=3)
+    handles = [server.submit(e, s, b, lookup_ids=ids)
+               for e, s, b, ids in reqs]
+    done = server.run(jax.random.PRNGKey(37))
+
+    assert len(done) == len(reqs)
+    for h, (emb, img_start, budget, _) in zip(handles, reqs):
+        assert h.done and len(h.tokens) == budget
+        assert h.tokens == _reference_v2(params_v2, emb, img_start, budget), \
+            f"v2 speculative request {h.uid} diverged from greedy"
+
+
 @pytest.mark.slow
 def test_serving_engine_on_mesh(params):
     """The engine's compiled programs span a dp/fsdp/tp mesh unchanged —
