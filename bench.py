@@ -450,18 +450,30 @@ def bench_serve(args) -> None:
     total_tokens = sum(b for _, b in reqs)
 
     # margin: one window-chunk of steps, (spec+1) tokens each (no EOT)
-    cap = -(-(324 + 128 + chunk * (spec + 1)) // 64) * 64
+    cap = -(-(324 + 128 + chunk * (spec + 1) + slots) // 64) * 64
+    fused_admit = None  # auto: on for the plain fused-mlp path
+    if args.get("fused_admit") is not None:
+        fused_admit = args.get("fused_admit") != "0"
     server = ShowoMMUServer(cfg, params, slots=slots, cap=cap, chunk=chunk,
                             buckets=(320, 384, 448), temperature=1.0,
-                            top_k=1, speculative_k=spec)
-    # warm up every compiled program (all buckets + decode chunk) off the
-    # clock: one synthetic request per bucket the workload can hit
-    for bucket in (320, 384, 448):
+                            top_k=1, speculative_k=spec,
+                            fused_admit=fused_admit)
+    # warm up every compiled program off the clock: per bucket, the plain
+    # prefill (admission from idle) AND the fused-admit step (admission
+    # while another lane decodes), plus the decode chunk
+    def _wreq(bucket):
         q = rng.integers(2, 50000, size=bucket - 261)
         img = rng.integers(50305, 58497, size=256)
-        p = np.concatenate([[MMU, SOI], img, [EOI], q]).astype(np.int32)
-        server.submit(p, 4)
-    server.run(jax.random.PRNGKey(0))
+        return np.concatenate([[MMU, SOI], img, [EOI], q]).astype(np.int32)
+
+    for bucket in (320, 384, 448):
+        server.submit(_wreq(bucket), 4)
+        server.run(jax.random.PRNGKey(0))   # idle start: plain prefill
+    if server.engine._fused_admit_for is not None:
+        server.submit(_wreq(320), 8)        # keeps a lane busy (plain)
+        for bucket in (320, 384, 448):
+            server.submit(_wreq(bucket), 4)  # admitted busy: fused
+        server.run(jax.random.PRNGKey(0))
     server.engine.stat_steps = 0
     for p, b in reqs:
         server.submit(p, b)
@@ -501,7 +513,8 @@ def bench_serve(args) -> None:
         "value": round(tok_s, 2), "unit": "tok/s",
         "vs_baseline": round(static_s / dt, 2),
         "static_batch_tok_per_s": round(total_tokens / static_s, 2),
-        "requests": n_req, "slots": slots, "chunk": chunk}
+        "requests": n_req, "slots": slots, "chunk": chunk,
+        "fused_admit": bool(server.engine._fused_admit_for is not None)}
     if spec:
         steps = max(1, server.engine.stat_steps)
         out["speculative_k"] = spec

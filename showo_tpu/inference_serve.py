@@ -168,7 +168,7 @@ def main_v2(config) -> None:
     buckets = sorted({_round_up(lens[len(lens) // 2], 32),
                       _round_up(lens[-1], 32)})
     cap = _round_up(max(p.shape[0] + b for p, b in zip(prompts, budgets))
-                    + chunk * lookahead, 64)
+                    + chunk * lookahead + slots, 64)
     server = Showo2MMUServer(
         cfg, params, slots=slots, cap=cap, chunk=chunk, buckets=buckets,
         temperature=float(config.get("temperature", 1.0)),
@@ -253,8 +253,10 @@ def main() -> None:
     buckets = sorted({_round_up(lens[len(lens) // 2], 32),
                       _round_up(lens[(3 * len(lens)) // 4], 32),
                       _round_up(lens[-1], 32)})
+    # + slots: fused admissions advance decode between windows (engine
+    # margin, serving/engine.py::_fill_slots)
     cap = _round_up(max(len(p) + b for p, b in zip(prompts, budgets))
-                    + chunk * lookahead * (spec + 1), 64)
+                    + chunk * lookahead * (spec + 1) + slots, 64)
 
     server = ShowoMMUServer(
         cfg, params, slots=slots, cap=cap, chunk=chunk, buckets=buckets,

@@ -95,7 +95,8 @@ class ContinuousBatchingEngine:
                  buckets: Sequence[int],
                  eot_token: Optional[int] = None,
                  lookahead: int = 4,
-                 max_tokens_per_step: int = 1):
+                 max_tokens_per_step: int = 1,
+                 fused_admit_for: Optional[Callable[[int], Callable]] = None):
         self.slots, self.cap, self.chunk = slots, cap, chunk
         self.lookahead = max(1, lookahead)
         self.max_tokens_per_step = max(1, max_tokens_per_step)
@@ -103,6 +104,12 @@ class ContinuousBatchingEngine:
         self._prefill_for = prefill_for
         self._prefill_cache: Dict[int, Callable] = {}
         self._decode_chunk = decode_chunk
+        # fused admission (serving/fused_admit.py): prefill a new request
+        # inside one decode step so admissions stop stalling decode lanes;
+        # used whenever at least one lane is mid-decode, plain prefill
+        # otherwise (initial fill)
+        self._fused_admit_for = fused_admit_for
+        self._fused_cache: Dict[int, Callable] = {}
         self.eot_token = eot_token
         ck, cv = init_cache()
         self.cache_k, self.cache_v = ck, cv
@@ -111,6 +118,10 @@ class ContinuousBatchingEngine:
         self.active: List[Optional[Request]] = [None] * slots
         self.queue: deque = deque()
         self._pending: List = []   # (slot, request, device tok0) to sync
+        self._events: List = []    # (active snapshot, device toks [slots])
+        #                            per fused-admit decode step, in order
+        self._unsynced = np.zeros(slots, np.int64)  # device tokens not yet
+        #                                             appended, per lane
         self._uid = 0
         self.stat_steps = 0        # decode steps dispatched (all lanes)
 
@@ -142,6 +153,11 @@ class ContinuousBatchingEngine:
             self._prefill_cache[bucket] = self._prefill_for(bucket)
         return self._prefill_cache[bucket]
 
+    def _fused(self, bucket: int) -> Callable:
+        if bucket not in self._fused_cache:
+            self._fused_cache[bucket] = self._fused_admit_for(bucket)
+        return self._fused_cache[bucket]
+
     def _fill_slots(self, key: jax.Array) -> jax.Array:
         # dispatch-only: the prefill first-token stays on device (no
         # blocking read here); _decode_once fetches it together with the
@@ -159,6 +175,9 @@ class ContinuousBatchingEngine:
             per_chunk = self.chunk * self.max_tokens_per_step
             margin = (per_chunk if self.eot_token is None
                       else per_chunk * self.lookahead)
+            if self._fused_admit_for is not None:
+                margin += self.slots   # fused admits advance decode between
+                #                        windows, before the host can react
             if S + r.max_new_tokens + margin > self.cap:
                 raise ValueError(
                     f"request {r.uid}: prompt {S} + budget "
@@ -167,6 +186,35 @@ class ContinuousBatchingEngine:
             padded = np.zeros((1, bucket) + r.prompt.shape[1:],
                               r.prompt.dtype)
             padded[0, :S] = r.prompt
+            if (self._fused_admit_for is not None
+                    and any(a is not None for a in self.active)):
+                # fused admission: prefill rides one decode step's weight
+                # stream — decode lanes advance one token instead of
+                # stalling for the standalone prefill program
+                for s2 in range(self.slots):
+                    if self.active[s2] is None:
+                        self.lengths[s2] = 0
+                key, k1, k2 = jax.random.split(key, 3)
+                snapshot = list(self.active)
+                (self.cache_k, self.cache_v, self.cur_tok, toks,
+                 tok0) = self._fused(bucket)(
+                    self.cache_k, self.cache_v, jnp.asarray(self.lengths),
+                    self.cur_tok, jnp.asarray(padded),
+                    jnp.asarray(S, jnp.int32), jnp.asarray(s, jnp.int32),
+                    k1, k2, *r.meta)
+                # lengths advance host-deterministically: +1 per active
+                # lane, admitted lane = prompt length
+                for s2, r2 in enumerate(snapshot):
+                    if r2 is not None:
+                        self.lengths[s2] += 1
+                        self._unsynced[s2] += 1
+                self.lengths[s] = S
+                self.active[s] = r
+                self._events.append((snapshot, toks))
+                self._pending.append((s, r, tok0))
+                self._unsynced[s] += 1
+                self.stat_steps += 1
+                continue
             key, k1 = jax.random.split(key)
             self.cache_k, self.cache_v, tok0 = self._prefill(bucket)(
                 self.cache_k, self.cache_v, jnp.asarray(padded),
@@ -176,6 +224,7 @@ class ContinuousBatchingEngine:
             self.cur_tok = self.cur_tok.at[s].set(tok0)
             self.active[s] = r
             self._pending.append((s, r, tok0))
+            self._unsynced[s] += 1
         return key
 
     def _finish_check(self, r: Request, now: float) -> bool:
@@ -199,14 +248,16 @@ class ContinuousBatchingEngine:
                 self.lengths[s] = 0
         snapshot = list(self.active)
         pend, self._pending = self._pending, []
-        pend_slots = {s for s, _, _ in pend}
+        events, self._events = self._events, []
         # budget-aware lookahead: finishing times are host-predictable
         # (modulo EOT / speculative acceptance), so dispatch enough chunks
         # that the earliest-finishing lane still works through the
-        # window's LAST chunk — zero added idle, 1/n the sync roundtrips
-        rem = [r.max_new_tokens - len(r.tokens) - (1 if s in pend_slots
-                                                   else 0)
+        # window's LAST chunk — zero added idle, 1/n the sync roundtrips.
+        # _unsynced counts device-side tokens (prefill first-tokens +
+        # fused-admit decode tokens) not yet appended to r.tokens.
+        rem = [r.max_new_tokens - len(r.tokens) - int(self._unsynced[s])
                for s, r in enumerate(snapshot) if r is not None]
+        self._unsynced[:] = 0
         denom = self.chunk * self.max_tokens_per_step
         if self.max_tokens_per_step == 1:
             n = max(1, min(self.lookahead, -(-max(1, min(rem)) // denom)))
@@ -228,24 +279,37 @@ class ContinuousBatchingEngine:
             nvalid_parts.append(nvalid)
             self.stat_steps += self.chunk
         # THE sync point: window tokens + final lengths + any prefill
-        # first-tokens, one read
+        # first-tokens + fused-admit decode tokens, one read
         host = jax.device_get((lens,) + tuple(toks_parts)
                               + tuple(nvalid_parts)
-                              + tuple(t for _, _, t in pend))
+                              + tuple(t for _, _, t in pend)
+                              + tuple(t for _, t in events))
         lens_h = host[0]
         toks_h = np.concatenate(host[1:1 + n], axis=0)  # [n*chunk, slots, T]
         nvalid_h = np.concatenate(host[1 + n:1 + 2 * n], axis=0)
-        tok0s = host[1 + 2 * n:]
+        tok0s = host[1 + 2 * n:1 + 2 * n + len(pend)]
+        event_toks = host[1 + 2 * n + len(pend):]
         for s in range(self.slots):
             if snapshot[s] is not None:
                 self.lengths[s] = lens_h[s]
         now = time.perf_counter()
+        # chronological per lane: an admitted lane's tok0 precedes any
+        # fused-admit step token it produced (it was idle during its own
+        # admission step), which precede the window's tokens
         for (s, r, _), t0 in zip(pend, tok0s):
             r.first_token_at = now
             r.tokens.append(int(t0))
             if self._finish_check(r, now):
                 finished.append(r)
                 self.active[s] = None
+        for (esnap, _), etoks in zip(events, event_toks):
+            for s, r in enumerate(esnap):
+                if r is None or r.done:
+                    continue
+                r.tokens.append(int(etoks[s]))
+                if self._finish_check(r, now):
+                    finished.append(r)
+                    self.active[s] = None
         for s in range(self.slots):
             r = snapshot[s]
             if r is None or r.done:
@@ -275,7 +339,8 @@ class ShowoMMUServer:
                  temperature: float = 1.0, top_k: Optional[int] = None,
                  top_p: Optional[float] = None,
                  eot_token: Optional[int] = None, lookahead: int = 4,
-                 speculative_k: int = 0):
+                 speculative_k: int = 0,
+                 fused_admit: Optional[bool] = None):
         from showo_tpu.models.phi import KVCache
         from showo_tpu.models.showo import showo_forward
         from showo_tpu.ops.masks import omni_mask_mmu
@@ -353,12 +418,30 @@ class ShowoMMUServer:
                 self, cfg, dtype=dtype, eoi=eoi, cap=cap, chunk=chunk,
                 draft_k=speculative_k)
 
+        # fused admission (prefill inside a decode step, fused_admit.py):
+        # default ON for the plain path with fuse_parallel_mlp params; the
+        # speculative path keeps its own prefill (its draft-ring state does
+        # not flow through the fused step)
+        if fused_admit is None:
+            fused_admit = (not speculative_k
+                           and "win" in params["showo"]["layers"])
+        fused_for = None
+        if fused_admit:
+            assert not speculative_k, \
+                "fused admission is not wired for the speculative path"
+            from showo_tpu.serving.fused_admit import build_v1_fused_admit
+
+            fused_for = build_v1_fused_admit(
+                self, cfg, dtype=dtype, eoi=eoi, cap=cap,
+                temperature=temperature, top_k=top_k, top_p=top_p)
+
         self.engine = ContinuousBatchingEngine(
             slots=slots, cap=cap, chunk=chunk, prefill_for=make_prefill,
             decode_chunk=decode_wrapper,
             init_cache=init_cache, buckets=buckets, eot_token=eot_token,
             lookahead=lookahead,
-            max_tokens_per_step=1 + speculative_k)
+            max_tokens_per_step=1 + speculative_k,
+            fused_admit_for=fused_for)
 
     def submit(self, prompt, max_new_tokens):
         return self.engine.submit(prompt, max_new_tokens)
@@ -383,7 +466,8 @@ class Showo2MMUServer:
                  temperature: float = 1.0, top_k: Optional[int] = None,
                  top_p: Optional[float] = None,
                  eos_token: Optional[int] = None, lookahead: int = 4,
-                 speculative_k: int = 0):
+                 speculative_k: int = 0,
+                 fused_admit: Optional[bool] = None):
         from showo_tpu.sampling.ar import _sample_logits
         from showo_tpu.show_o2.masks import omni_attn_mask
         from showo_tpu.show_o2.qwen2 import Qwen2KVCache, qwen2_forward
@@ -464,12 +548,25 @@ class Showo2MMUServer:
                 self, cfg, dtype=dtype, n_img=n_img, cap=cap, chunk=chunk,
                 draft_k=speculative_k)
 
+        if fused_admit is None:
+            fused_admit = not speculative_k
+        fused_for = None
+        if fused_admit:
+            assert not speculative_k, \
+                "fused admission is not wired for the speculative path"
+            from showo_tpu.serving.fused_admit import build_v2_fused_admit
+
+            fused_for = build_v2_fused_admit(
+                self, cfg, dtype=dtype, n_img=n_img, cap=cap,
+                temperature=temperature, top_k=top_k, top_p=top_p)
+
         self.engine = ContinuousBatchingEngine(
             slots=slots, cap=cap, chunk=chunk, prefill_for=make_prefill,
             decode_chunk=decode_wrapper,
             init_cache=init_cache, buckets=buckets, eot_token=eos_token,
             lookahead=lookahead,
-            max_tokens_per_step=1 + speculative_k)
+            max_tokens_per_step=1 + speculative_k,
+            fused_admit_for=fused_for)
 
     def submit(self, input_embeds, img_start: int, max_new_tokens: int,
                lookup_ids=None):

@@ -141,17 +141,21 @@ def _reference_v2(params, emb, img_start, budget):
     return list(np.asarray(toks)[0])
 
 
-def test_v2_engine_matches_per_request_greedy(params_v2):
+@pytest.mark.parametrize("fused_admit", [False, True])
+def test_v2_engine_matches_per_request_greedy(params_v2, fused_admit):
     rng = np.random.default_rng(11)
     reqs = [(_v2_prompt(rng, t)[0], 3, b)
             for t, b in [(2, 5), (6, 8), (1, 4), (9, 6), (4, 9)]]
 
     server = Showo2MMUServer(V2, params_v2, slots=2, cap=64, chunk=3,
-                             buckets=(20, 28), temperature=1.0, top_k=1)
+                             buckets=(20, 28), temperature=1.0, top_k=1,
+                             fused_admit=fused_admit)
     handles = [server.submit(e, s, b) for e, s, b in reqs]
     done = server.run(jax.random.PRNGKey(13))
 
     assert len(done) == len(reqs)
+    if fused_admit:
+        assert server.engine._fused_cache, "fused path was never exercised"
     for h, (emb, img_start, budget) in zip(handles, reqs):
         assert h.done and len(h.tokens) == budget
         assert h.tokens == _reference_v2(params_v2, emb, img_start, budget), \
@@ -392,3 +396,57 @@ def test_engine_eot_frees_slot(params):
     assert len(done) == 2
     assert h.done and h.tokens[-1] == eot and len(h.tokens) <= 4
     assert len(h2.tokens) == 4
+
+
+def test_fused_admission_token_exact(params):
+    """Fused admission (prefill inside a decode step, fused_admit.py) is
+    pure scheduling: with the same fused-mlp params and greedy sampling,
+    the engine produces the SAME tokens whether admissions dispatch the
+    standalone prefill program or ride a decode step's weight stream.
+    Queue > slots so refills happen while other lanes are mid-decode (the
+    fused path); mixed budgets so admissions land at varied offsets."""
+    from showo_tpu.models.phi import fuse_parallel_mlp
+
+    fparams = dict(params, showo=fuse_parallel_mlp(params["showo"]))
+    rng = np.random.default_rng(13)
+    reqs = [(_prompt(rng, q), b)
+            for q, b in [(3, 6), (8, 12), (2, 4), (9, 8), (5, 15), (4, 3),
+                         (6, 9), (7, 5)]]
+
+    outs = []
+    for fused in (False, True):
+        server = ShowoMMUServer(CFG, fparams, slots=2, cap=64, chunk=3,
+                                buckets=(16, 24), temperature=1.0, top_k=1,
+                                fused_admit=fused)
+        handles = [server.submit(p, b) for p, b in reqs]
+        done = server.run(jax.random.PRNGKey(11))
+        assert len(done) == len(reqs)
+        assert all(h.done and len(h.tokens) == b
+                   for h, (_, b) in zip(handles, reqs))
+        outs.append([list(h.tokens) for h in handles])
+    assert outs[0] == outs[1], "fused admission changed generated tokens"
+    assert server.engine._fused_cache, "fused path was never exercised"
+
+
+def test_fused_admission_eot(params):
+    """EOT finishes + slot reuse stay correct under fused admissions."""
+    from showo_tpu.models.phi import fuse_parallel_mlp
+
+    fparams = dict(params, showo=fuse_parallel_mlp(params["showo"]))
+    rng = np.random.default_rng(9)
+    prompt = _prompt(rng, 4)
+    bias = omni_mask_mmu(jnp.asarray(prompt)[None], eoi_id=EOI,
+                         dtype=jnp.float32)
+    toks, _ = showo_mmu_generate(
+        CFG, fparams, jnp.asarray(prompt)[None], jax.random.PRNGKey(7),
+        prompt_bias=bias, max_new_tokens=3, temperature=1.0, top_k=1)
+    eot = int(np.asarray(toks)[0][1])
+    server = ShowoMMUServer(CFG, fparams, slots=2, cap=64, chunk=4,
+                            buckets=(24,), temperature=1.0, top_k=1,
+                            eot_token=eot, fused_admit=True)
+    h = server.submit(prompt, 10)
+    rest = [server.submit(_prompt(rng, 5), 4) for _ in range(4)]
+    done = server.run(jax.random.PRNGKey(2))
+    assert len(done) == 5
+    assert h.done and eot in h.tokens[:h.tokens.index(eot) + 1]
+    assert all(r.done and len(r.tokens) <= 4 for r in rest)
