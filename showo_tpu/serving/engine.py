@@ -381,31 +381,16 @@ class ShowoMMUServer:
 
             return lambda *a: prefill(self.params, *a)
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2))
-        def decode_chunk(params, cache_k, cache_v, lengths, tok, key):
-            kpos = jnp.arange(cap)[None, None, None, :]
+        # chunk-local fresh-KV decode (serving/decode_chunk.py): the big
+        # cache stays loop-invariant across the chunk's steps, fresh rows
+        # accumulate in a ~13 MB side buffer and scatter once per chunk —
+        # the naive per-step cache materialization was 60% of the step
+        # (16.0 -> 6.5 ms/step measured, tools/probe_decode_cache_copy.py)
+        from showo_tpu.serving.decode_chunk import build_v1_decode_chunk
 
-            def step(carry, _):
-                ck, cv, lens, tok, key = carry
-                key, k1 = jax.random.split(key)
-                bias = jnp.where(
-                    kpos < (lens[:, None, None, None] + 1), 0.0, NEG_INF
-                ).astype(dtype)
-                logits, cache = showo_forward(
-                    cfg, params, input_ids=tok[:, None],
-                    attention_bias=bias, cache=KVCache(ck, cv, lens))
-                nxt = _sample_logits(k1, logits[:, -1], temperature, top_k,
-                                     None, top_p)
-                return ((cache.k, cache.v, cache.length,
-                         nxt.astype(jnp.int32), key), nxt.astype(jnp.int32))
-
-            (ck, cv, lens, cur, key), toks = jax.lax.scan(
-                step, (cache_k, cache_v, lengths, tok, key),
-                None, length=chunk)
-            return (ck, cv, lens, cur, key, toks[..., None],
-                    jnp.ones_like(toks))
-
-        decode_wrapper = lambda *a: decode_chunk(self.params, *a)
+        decode_wrapper = build_v1_decode_chunk(
+            self, cfg, dtype=dtype, cap=cap, chunk=chunk,
+            temperature=temperature, top_k=top_k, top_p=top_p)
         if speculative_k:
             # prompt-lookup speculative decoding: greedy-exact, up to
             # speculative_k extra tokens per verify step (speculative.py)
