@@ -392,16 +392,17 @@ class ShowoMMUServer:
             self, cfg, dtype=dtype, cap=cap, chunk=chunk,
             temperature=temperature, top_k=top_k, top_p=top_p)
         if speculative_k:
-            # prompt-lookup speculative decoding: greedy-exact, up to
-            # speculative_k extra tokens per verify step (speculative.py)
-            assert top_k == 1 and (top_p is None or top_p >= 1.0), \
-                "speculative decoding is exact for greedy (top_k=1) only"
+            # prompt-lookup speculative decoding (speculative.py): greedy
+            # (top_k=1) is token-exact vs plain greedy decode; any other
+            # sampling config routes through rejection resampling and is
+            # distribution-exact
             from showo_tpu.serving.speculative import build_v1_speculative
 
             self.buf = jnp.zeros((slots, cap), jnp.int32)
             make_prefill, decode_wrapper = build_v1_speculative(
                 self, cfg, dtype=dtype, eoi=eoi, cap=cap, chunk=chunk,
-                draft_k=speculative_k)
+                draft_k=speculative_k, temperature=temperature,
+                top_k=top_k, top_p=top_p)
 
         # fused admission (prefill inside a decode step, fused_admit.py):
         # default ON for the plain path with fuse_parallel_mlp params; the
@@ -524,14 +525,15 @@ class Showo2MMUServer:
         self._spec = speculative_k
         self._cap = cap
         if speculative_k:
-            assert top_k == 1 and (top_p is None or top_p >= 1.0), \
-                "speculative decoding is exact for greedy (top_k=1) only"
+            # greedy (top_k=1) verify is token-exact; sampling configs use
+            # rejection resampling (distribution-exact) — see speculative.py
             from showo_tpu.serving.speculative import build_v2_speculative
 
             self.buf = jnp.zeros((slots, cap), jnp.int32)
             make_prefill, decode_wrapper = build_v2_speculative(
                 self, cfg, dtype=dtype, n_img=n_img, cap=cap, chunk=chunk,
-                draft_k=speculative_k)
+                draft_k=speculative_k, temperature=temperature,
+                top_k=top_k, top_p=top_p)
 
         if fused_admit is None:
             fused_admit = not speculative_k

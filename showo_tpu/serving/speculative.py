@@ -15,8 +15,23 @@ TPU-shaped: a fixed draft length K keeps every shape static; the n-gram
 search is a vectorized max-over-masked-index on a device-resident
 [slots, cap] token ring; acceptance is a cumprod over the verify
 window; per-lane cache/buffer writes ride the same vmapped
-dynamic_update_slice path as plain per-lane decode.  Greedy only
-(top_k=1): exactness under sampling would need rejection resampling.
+dynamic_update_slice path as plain per-lane decode.
+
+Two verify rules:
+  * greedy (top_k=1): accept the longest prefix where the model's argmax
+    agrees with the draft — TOKEN-exact vs plain greedy decode.
+  * sampling (temperature / top-k / top-p): rejection resampling
+    (Leviathan et al. 2023) specialized to the point-mass draft that
+    prompt-lookup produces — accept drafted token x with probability
+    p(x) under the filtered target distribution; on rejection sample
+    from the residual norm(max(p - q, 0)), which for a point-mass q is
+    exactly p with x masked out, renormalized.  The emitted sequence is
+    DISTRIBUTION-exact: every token is a sample from the same filtered
+    softmax plain AR sampling would use (tests/test_spec_sampling.py
+    checks the marginals).  Acceptance rate is p(draft), so the speedup
+    only materializes when the model is confident on copied spans —
+    greedy stays the recommended serving mode when exact replay of
+    plain decode matters.
 
 v1 (ShowoMMUServer): the ring holds the full prompt + generated ids.
 v2 (Showo2MMUServer): prompts are embeddings, so the ring holds -1 at
@@ -36,12 +51,77 @@ import jax.numpy as jnp
 from showo_tpu.ops.masks import NEG_INF
 
 
+def verify_greedy(key, logits, draft):
+    """Greedy verify: longest draft prefix the argmax agrees with.
+
+    logits [slots, K+1, V], draft [slots, K] ->
+    (out [slots, K+1], m [slots]): out[s, :m[s]+1] are the tokens lane s
+    emits this step (accepted draft prefix + the model's own next
+    token); token-exact vs plain greedy decode.
+    """
+    del key
+    K = draft.shape[1]
+    nxt = jnp.argmax(logits, -1).astype(jnp.int32)            # [slots, K+1]
+    acc = jnp.cumprod((nxt[:, :K] == draft).astype(jnp.int32), 1)
+    return nxt, jnp.sum(acc, axis=1)
+
+
+def make_verify_sample(temperature: float, top_k, top_p):
+    """Rejection-resampling verify for point-mass (prompt-lookup) drafts.
+
+    Each emitted token is an exact sample from the filtered softmax the
+    plain AR path (sampling/ar.py::_sample_logits) would sample from:
+    accept draft x_i with probability p_i(x_i); at the first rejection
+    sample from p_i with x_i masked out (the normalized residual); if
+    every draft survives, sample the bonus token from p_K unmasked.
+    """
+    from showo_tpu.sampling.ar import top_p_filter
+
+    def verify(key, logits, draft):
+        K = draft.shape[1]
+        flog = logits / temperature
+        if top_k is not None:
+            kth = jax.lax.top_k(flog, top_k)[0][..., -1:]
+            flog = jnp.where(flog < kth, -jnp.inf, flog)
+        if top_p is not None and top_p < 1.0:
+            flog = top_p_filter(flog, top_p)
+        p = jax.nn.softmax(flog, axis=-1)                     # [slots,K+1,V]
+        k_u, k_r, k_b = jax.random.split(key, 3)
+        u = jax.random.uniform(k_u, draft.shape)
+        p_draft = jnp.take_along_axis(p[:, :K], draft[..., None],
+                                      axis=-1)[..., 0]
+        acc = jnp.cumprod((u < p_draft).astype(jnp.int32), 1)
+        m = jnp.sum(acc, axis=1)                              # 0..K
+        # residual at each draft position: p with the drafted token
+        # masked out (never selected when the position accepted)
+        rlog = flog[:, :K]
+        rlog = jnp.where(
+            jax.nn.one_hot(draft, rlog.shape[-1], dtype=bool), -jnp.inf,
+            rlog)
+        resamp = jax.random.categorical(k_r, rlog, axis=-1)   # [slots, K]
+        bonus = jax.random.categorical(k_b, flog[:, K], axis=-1)
+        ridx = jnp.minimum(m, K - 1)
+        chosen = jnp.where(
+            m < K,
+            jnp.take_along_axis(resamp, ridx[:, None], axis=1)[:, 0],
+            bonus).astype(jnp.int32)
+        ar = jnp.arange(K + 1)[None, :]
+        d1 = jnp.concatenate([draft, jnp.zeros_like(draft[:, :1])], 1)
+        out = jnp.where(ar < m[:, None], d1,
+                        jnp.where(ar == m[:, None], chosen[:, None], 0))
+        return out.astype(jnp.int32), m
+
+    return verify
+
+
 def _make_spec_decode_chunk(forward_step, *, cap: int, chunk: int, K: int,
-                            dtype):
+                            dtype, verify=verify_greedy):
     """Shared draft -> verify -> accept chunk program.
 
     forward_step(params, window [slots, K+1] ids, bias, ck, cv, lens)
         -> (logits [slots, K+1, V], new_ck, new_cv)
+    verify(key, logits [slots, K+1, V], draft [slots, K])
+        -> (out [slots, K+1], m [slots]); lane s emits out[s, :m[s]+1].
     """
 
     @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
@@ -65,6 +145,7 @@ def _make_spec_decode_chunk(forward_step, *, cap: int, chunk: int, K: int,
 
         def step(carry, _):
             ck, cv, buf, lens, tok, key = carry
+            key, kv = jax.random.split(key)
             draft = jax.vmap(draft_one)(buf, lens, tok)       # [slots, K]
             window = jnp.concatenate([tok[:, None], draft], 1)
             bias = jnp.where(
@@ -72,16 +153,14 @@ def _make_spec_decode_chunk(forward_step, *, cap: int, chunk: int, K: int,
             ).astype(dtype)
             logits, ck, cv = forward_step(params, window, bias, ck, cv,
                                           lens)
-            nxt = jnp.argmax(logits, -1).astype(jnp.int32)    # [slots, K+1]
-            # accept the longest prefix where the model agrees with the
-            # draft, then the model's own next token ("bonus") — exactly
-            # greedy decoding's output
-            acc = jnp.cumprod((nxt[:, :K] == draft).astype(jnp.int32), 1)
-            m = jnp.sum(acc, axis=1)                          # 0..K
+            # accept the longest surviving draft prefix, then one token of
+            # the model's own (bonus on full acceptance, residual sample
+            # on rejection); greedy verify reproduces plain greedy decode
+            out, m = verify(kv, logits, draft)
             buf = jax.vmap(lambda b, row, ln: jax.lax.dynamic_update_slice(
-                b, row, (ln + 1,)))(buf, nxt, lens)
-            cur = jnp.take_along_axis(nxt, m[:, None], axis=1)[:, 0]
-            return (ck, cv, buf, lens + m + 1, cur, key), (nxt, m + 1)
+                b, row, (ln + 1,)))(buf, out, lens)
+            cur = jnp.take_along_axis(out, m[:, None], axis=1)[:, 0]
+            return (ck, cv, buf, lens + m + 1, cur, key), (out, m + 1)
 
         (ck, cv, buf, lens, cur, key), (toks, nvalid) = jax.lax.scan(
             step, (cache_k, cache_v, buf, lengths, tok, key),
@@ -91,8 +170,15 @@ def _make_spec_decode_chunk(forward_step, *, cap: int, chunk: int, K: int,
     return decode_chunk_spec
 
 
+def _pick_verify(temperature, top_k, top_p):
+    greedy = top_k == 1 and (top_p is None or top_p >= 1.0)
+    return verify_greedy if greedy else make_verify_sample(
+        temperature, top_k, top_p)
+
+
 def build_v1_speculative(server, cfg, *, dtype, eoi, cap: int, chunk: int,
-                         draft_k: int):
+                         draft_k: int, temperature: float = 1.0,
+                         top_k=1, top_p=None):
     """Returns (make_prefill, decode_wrapper) for ShowoMMUServer.
 
     server.buf is the device token ring [slots, cap]: positions
@@ -104,8 +190,10 @@ def build_v1_speculative(server, cfg, *, dtype, eoi, cap: int, chunk: int,
     from showo_tpu.models.phi import KVCache
     from showo_tpu.models.showo import showo_forward
     from showo_tpu.ops.masks import omni_mask_mmu
+    from showo_tpu.sampling.ar import _sample_logits
 
     K = draft_k
+    verify = _pick_verify(temperature, top_k, top_p)
 
     def make_prefill(bucket: int):
         @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
@@ -123,7 +211,8 @@ def build_v1_speculative(server, cfg, *, dtype, eoi, cap: int, chunk: int,
                 cache_v, tc.v.astype(cache_v.dtype), (0, slot, 0, 0, 0))
             last = jax.lax.dynamic_index_in_dim(
                 logits[0], true_len - 1, axis=0, keepdims=False)
-            tok0 = jnp.argmax(last).astype(jnp.int32)
+            tok0 = _sample_logits(key, last[None], temperature, top_k,
+                                  None, top_p)[0].astype(jnp.int32)
             buf = jax.lax.dynamic_update_slice(
                 buf, padded.astype(jnp.int32), (slot, 0))
             buf = jax.lax.dynamic_update_slice(
@@ -145,7 +234,7 @@ def build_v1_speculative(server, cfg, *, dtype, eoi, cap: int, chunk: int,
         return logits, cache.k, cache.v
 
     decode_chunk_spec = _make_spec_decode_chunk(
-        forward_step, cap=cap, chunk=chunk, K=K, dtype=dtype)
+        forward_step, cap=cap, chunk=chunk, K=K, dtype=dtype, verify=verify)
 
     def decode_wrapper(ck, cv, lens, tok, key):
         (ck, cv, server.buf, lens, cur, key, toks,
@@ -157,7 +246,8 @@ def build_v1_speculative(server, cfg, *, dtype, eoi, cap: int, chunk: int,
 
 
 def build_v2_speculative(server, cfg, *, dtype, n_img, cap: int, chunk: int,
-                         draft_k: int):
+                         draft_k: int, temperature: float = 1.0,
+                         top_k=1, top_p=None):
     """Returns (make_prefill, decode_wrapper) for Showo2MMUServer.
 
     Prompts are embeddings; the token ring holds -1 where no id is known
@@ -166,11 +256,13 @@ def build_v2_speculative(server, cfg, *, dtype, n_img, cap: int, chunk: int,
     and all generated ids.  -1 never equals a sampled token, so the
     n-gram search only ever drafts from known-id positions.
     """
+    from showo_tpu.sampling.ar import _sample_logits
     from showo_tpu.show_o2.masks import omni_attn_mask
     from showo_tpu.show_o2.qwen2 import Qwen2KVCache, qwen2_forward
 
     K = draft_k
     llm = cfg.llm
+    verify = _pick_verify(temperature, top_k, top_p)
 
     def make_prefill(bucket: int):
         @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
@@ -191,7 +283,8 @@ def build_v2_speculative(server, cfg, *, dtype, n_img, cap: int, chunk: int,
                 cache_v, tc.v.astype(cache_v.dtype), (0, slot, 0, 0, 0))
             last = jax.lax.dynamic_index_in_dim(
                 logits[0], true_len - 1, axis=0, keepdims=False)
-            tok0 = jnp.argmax(last).astype(jnp.int32)
+            tok0 = _sample_logits(key, last[None], temperature, top_k,
+                                  None, top_p)[0].astype(jnp.int32)
             buf = jax.lax.dynamic_update_slice(
                 buf, lookup_row[None], (slot, 0))
             buf = jax.lax.dynamic_update_slice(
@@ -217,7 +310,7 @@ def build_v2_speculative(server, cfg, *, dtype, n_img, cap: int, chunk: int,
         return logits, cache.k, cache.v
 
     decode_chunk_spec = _make_spec_decode_chunk(
-        forward_step, cap=cap, chunk=chunk, K=K, dtype=dtype)
+        forward_step, cap=cap, chunk=chunk, K=K, dtype=dtype, verify=verify)
 
     def decode_wrapper(ck, cv, lens, tok, key):
         (ck, cv, server.buf, lens, cur, key, toks,
