@@ -159,3 +159,219 @@ def build_v1_decode_chunk(server, cfg, *, dtype, cap: int, chunk: int,
                 toks[..., None], jnp.ones_like(toks))
 
     return lambda *a: decode_chunk(server.params, *a)
+
+
+# ---------------------------------------------------------------------------
+# Windowed chunk-local forward: the same fresh-KV restructuring for a
+# W-row query window (W = 1 + draft_k on the speculative path, W = 1 for
+# plain v2 decode).  The big cache stays loop-invariant across the
+# chunk's steps; each step's W fresh K/V rows land in a side buffer at
+# the lane's chunk-relative offset (lens - lens0, data-dependent on the
+# speculative path where lanes advance by the accepted count), and the
+# buffer scatters into the donated cache ONCE per chunk.
+# ---------------------------------------------------------------------------
+
+
+def scatter_fresh(cache_k, cache_v, fk, fv, lens0):
+    """Scatter side buffers [L, slots, Fcap, h, Dh] into the caches at
+    each lane's chunk-start length.  Rows past a lane's final length are
+    garbage; they are never exposed (bias masks cols >= length) and the
+    next chunk's scatter (or an admission prefill) overwrites them."""
+    upd_l = jax.vmap(
+        lambda c, f, o: jax.lax.dynamic_update_slice(c, f, (o, 0, 0)),
+        in_axes=(0, 0, None))                        # over layers
+    upd = jax.vmap(upd_l, in_axes=(1, 1, 0), out_axes=1)   # over lanes
+    return (upd(cache_k, fk.astype(cache_k.dtype), lens0),
+            upd(cache_v, fv.astype(cache_v.dtype), lens0))
+
+
+def make_v1_window_forward(cfg, *, slots: int, cap: int, Fcap: int, dtype):
+    """Chunk-local forward over a token window for the v1 (Phi) tower.
+
+    Returns (fwd, fresh_shape):
+      fwd(p_showo, window [slots, W] int32, lens0 [slots], lens [slots],
+          cache_k, cache_v, fk, fv) -> (logits [slots, W, V], fk, fv)
+    Row r of the window sits at position lens + r; it sees big-cache
+    cols < lens0 plus fresh rows j <= (lens - lens0) + r.  Requires
+    every lane's lens - lens0 + W <= Fcap (engine chunk accounting).
+    """
+    llm = cfg.llm
+    H, Dh, D = llm.num_heads, llm.head_dim, llm.hidden_size
+    fresh_shape = (llm.num_layers, slots, Fcap, H, Dh)
+
+    def fwd(p, window, lens0, lens, cache_k, cache_v, fk, fv):
+        W = window.shape[1]
+        off = lens - lens0
+        h = p["embed"][window]                        # [slots, W, D]
+        pos = lens[:, None] + jnp.arange(W)[None, :]
+        cos, sin = _rope_tables(pos, llm.rotary_dim, llm.rope_theta)
+        kpos = jnp.arange(cap)[None, None, None, :]
+        big_bias = jnp.where(kpos < lens0[:, None, None, None], 0.0,
+                             NEG_INF).astype(dtype)
+        jpos = jnp.arange(Fcap)[None, None, None, :]
+        rrows = jnp.arange(W)[None, None, :, None]
+        fresh_bias = jnp.where(
+            jpos < off[:, None, None, None] + rrows + 1, 0.0,
+            NEG_INF).astype(dtype)
+        wr = jax.vmap(
+            lambda f, x, o: jax.lax.dynamic_update_slice(f, x, (o, 0, 0)))
+
+        def layer(h, xs):
+            lp, (ckl, cvl), (fkl, fvl) = xs
+            x = layer_norm(h, lp["ln"]["scale"], lp["ln"]["bias"],
+                           llm.layer_norm_eps)
+            qkv, mlp = _project_in(llm, lp, x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(slots, W, H, Dh)
+            k = k.reshape(slots, W, H, Dh)
+            v = v.reshape(slots, W, H, Dh)
+            q = layer_norm(q, lp["q_ln"]["scale"], lp["q_ln"]["bias"],
+                           llm.layer_norm_eps)
+            k = layer_norm(k, lp["k_ln"]["scale"], lp["k_ln"]["bias"],
+                           llm.layer_norm_eps)
+            q, k = apply_rope(q, k, cos, sin, llm.rotary_dim)
+            fkl = wr(fkl, k.astype(fkl.dtype), off)
+            fvl = wr(fvl, v.astype(fvl.dtype), off)
+            scale = 1.0 / (Dh ** 0.5)
+            sdt = jnp.float32 if llm.attn_fp32 else jnp.bfloat16
+            s1 = jnp.einsum("bqhd,bkhd->bhqk", q, ckl,
+                            preferred_element_type=sdt) * scale
+            s2 = jnp.einsum("bqhd,bkhd->bhqk", q, fkl,
+                            preferred_element_type=sdt) * scale
+            s = jnp.concatenate(
+                [s1 + big_bias.astype(sdt), s2 + fresh_bias.astype(sdt)],
+                axis=-1)
+            pr = jax.nn.softmax(s.astype(sdt), axis=-1).astype(cvl.dtype)
+            attn = (jnp.einsum("bhqk,bkhd->bqhd", pr[..., :cap], cvl,
+                               preferred_element_type=jnp.float32)
+                    + jnp.einsum("bhqk,bkhd->bqhd", pr[..., cap:], fvl,
+                                 preferred_element_type=jnp.float32)
+                    ).astype(h.dtype).reshape(slots, W, D)
+            if "wout" in lp:
+                z = jnp.concatenate([attn, jax.nn.gelu(
+                    mlp, approximate=True)], axis=-1)
+                return (h + z @ _wk(lp["wout"]) + lp["wout"]["bias"],
+                        (fkl, fvl))
+            attn = attn @ _wk(lp["dense"]) + lp["dense"]["bias"]
+            return h + attn + mlp, (fkl, fvl)
+
+        h, (fk, fv) = jax.lax.scan(
+            layer, h, (p["layers"], (cache_k, cache_v), (fk, fv)),
+            unroll=llm.scan_unroll)
+        h = layer_norm(h, p["final_ln"]["scale"], p["final_ln"]["bias"],
+                       llm.layer_norm_eps)
+        logits = h @ _wk(p["lm_head"]) + p["lm_head"]["bias"]
+        return logits, fk, fv
+
+    return fwd, fresh_shape
+
+
+def make_v2_window_forward(llm, *, slots: int, cap: int, Fcap: int, dtype):
+    """Chunk-local forward over a token window for the v2 (Qwen2/GQA)
+    tower.  Same contract as make_v1_window_forward; p is the qwen2
+    param tree (params["showo"]).  Decode rows are pure-causal
+    (show_o2 decode sits after every span), so the two-piece bias is
+    exactly the naive step's kpos < lens + r + 1 split at lens0."""
+    from showo_tpu.show_o2.qwen2 import (_mlp, _wk as qwk, apply_rope_full,
+                                         rms_norm, rope_tables)
+    import math
+
+    H, Hkv, Dh, D = llm.num_heads, llm.num_kv_heads, llm.head_dim, \
+        llm.hidden_size
+    G = H // Hkv
+    fresh_shape = (llm.num_layers, slots, Fcap, Hkv, Dh)
+
+    def fwd(p, window, lens0, lens, cache_k, cache_v, fk, fv):
+        W = window.shape[1]
+        off = lens - lens0
+        h = p["embed"][window]
+        pos = lens[:, None] + jnp.arange(W)[None, :]
+        cos, sin = rope_tables(pos, Dh, llm.rope_theta)
+        kpos = jnp.arange(cap)[None, None, None, None, :]
+        big_bias = jnp.where(kpos < lens0[:, None, None, None, None],
+                             0.0, NEG_INF)           # [slots,1,1,1,cap]
+        jpos = jnp.arange(Fcap)[None, None, None, None, :]
+        rrows = jnp.arange(W)[None, None, None, :, None]
+        fresh_bias = jnp.where(
+            jpos < off[:, None, None, None, None] + rrows + 1, 0.0,
+            NEG_INF)                                 # [slots,1,1,W,Fcap]
+        wr = jax.vmap(
+            lambda f, x, o: jax.lax.dynamic_update_slice(f, x, (o, 0, 0)))
+
+        def layer(h, xs):
+            lp, (ckl, cvl), (fkl, fvl) = xs
+            x = rms_norm(h, lp["input_ln"]["scale"], llm.rms_norm_eps)
+            if "qkv" in lp:
+                qkv = x @ qwk(lp["qkv"]) + lp["qkv"]["bias"]
+                q = qkv[..., :H * Dh].reshape(slots, W, H, Dh)
+                k = qkv[..., H * Dh:(H + Hkv) * Dh].reshape(
+                    slots, W, Hkv, Dh)
+                v = qkv[..., (H + Hkv) * Dh:].reshape(slots, W, Hkv, Dh)
+            else:
+                q = (x @ qwk(lp["q"]) + lp["q"]["bias"]).reshape(
+                    slots, W, H, Dh)
+                k = (x @ qwk(lp["k"]) + lp["k"]["bias"]).reshape(
+                    slots, W, Hkv, Dh)
+                v = (x @ qwk(lp["v"]) + lp["v"]["bias"]).reshape(
+                    slots, W, Hkv, Dh)
+            q, k = apply_rope_full(q, k, cos, sin)
+            fkl = wr(fkl, k.astype(fkl.dtype), off)
+            fvl = wr(fvl, v.astype(fvl.dtype), off)
+            qg = q.reshape(slots, W, Hkv, G, Dh)
+            s1 = jnp.einsum("bqhgd,bkhd->bhgqk", qg, ckl,
+                            preferred_element_type=jnp.float32) \
+                / math.sqrt(Dh)
+            s2 = jnp.einsum("bqhgd,bkhd->bhgqk", qg, fkl,
+                            preferred_element_type=jnp.float32) \
+                / math.sqrt(Dh)
+            s = jnp.concatenate([s1 + big_bias, s2 + fresh_bias], axis=-1)
+            pr = jax.nn.softmax(s, axis=-1).astype(cvl.dtype)
+            attn = (jnp.einsum("bhgqk,bkhd->bqhgd", pr[..., :cap], cvl)
+                    + jnp.einsum("bhgqk,bkhd->bqhgd", pr[..., cap:], fvl)
+                    ).reshape(slots, W, H * Dh)
+            h = h + attn @ qwk(lp["o"])
+            x2 = rms_norm(h, lp["post_ln"]["scale"], llm.rms_norm_eps)
+            return h + _mlp(llm, lp, x2), (fkl, fvl)
+
+        h, (fk, fv) = jax.lax.scan(
+            layer, h, (p["layers"], (cache_k, cache_v), (fk, fv)),
+            unroll=llm.scan_unroll)
+        h = rms_norm(h, p["final_ln"]["scale"], llm.rms_norm_eps)
+        head = qwk(p["lm_head"]) if "lm_head" in p else p["embed"].T
+        logits = h @ head
+        return logits, fk, fv
+
+    return fwd, fresh_shape
+
+
+def build_v2_decode_chunk(server, llm, *, slots: int, cap: int, chunk: int,
+                          dtype, temperature: float, top_k, top_p):
+    """Chunk-local plain decode for Showo2MMUServer (the v2 analog of
+    build_v1_decode_chunk): W=1 windows, fresh rows at offset i, one
+    scatter per chunk.  Replaces the naive step that materialized the
+    full GQA cache every iteration."""
+    fwd, fresh_shape = make_v2_window_forward(
+        llm, slots=slots, cap=cap, Fcap=chunk, dtype=dtype)
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def decode_chunk(params, cache_k, cache_v, lengths, tok, key):
+        p = params["showo"]
+        fk0 = jnp.zeros(fresh_shape, dtype)
+        fv0 = jnp.zeros(fresh_shape, dtype)
+
+        def step(carry, i):
+            fk, fv, tok, key = carry
+            key, k1 = jax.random.split(key)
+            logits, fk, fv = fwd(p, tok[:, None], lengths, lengths + i,
+                                 cache_k, cache_v, fk, fv)
+            nxt = _sample_logits(k1, logits[:, -1], temperature, top_k,
+                                 None, top_p).astype(jnp.int32)
+            return (fk, fv, nxt, key), nxt
+
+        (fk, fv, cur, key), toks = jax.lax.scan(
+            step, (fk0, fv0, tok, key), jnp.arange(chunk))
+        cache_k, cache_v = scatter_fresh(cache_k, cache_v, fk, fv, lengths)
+        return (cache_k, cache_v, lengths + chunk, cur, key,
+                toks[..., None], jnp.ones_like(toks))
+
+    return lambda *a: decode_chunk(server.params, *a)

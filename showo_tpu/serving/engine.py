@@ -340,6 +340,7 @@ class ShowoMMUServer:
                  top_p: Optional[float] = None,
                  eot_token: Optional[int] = None, lookahead: int = 4,
                  speculative_k: int = 0,
+                 spec_chunk_local: bool = True,
                  fused_admit: Optional[bool] = None):
         from showo_tpu.models.phi import KVCache
         from showo_tpu.models.showo import showo_forward
@@ -402,7 +403,7 @@ class ShowoMMUServer:
             make_prefill, decode_wrapper = build_v1_speculative(
                 self, cfg, dtype=dtype, eoi=eoi, cap=cap, chunk=chunk,
                 draft_k=speculative_k, temperature=temperature,
-                top_k=top_k, top_p=top_p)
+                top_k=top_k, top_p=top_p, chunk_local=spec_chunk_local)
 
         # fused admission (prefill inside a decode step, fused_admit.py):
         # default ON for the plain path with fuse_parallel_mlp params; the
@@ -453,6 +454,7 @@ class Showo2MMUServer:
                  top_p: Optional[float] = None,
                  eos_token: Optional[int] = None, lookahead: int = 4,
                  speculative_k: int = 0,
+                 spec_chunk_local: bool = True,
                  fused_admit: Optional[bool] = None):
         from showo_tpu.sampling.ar import _sample_logits
         from showo_tpu.show_o2.masks import omni_attn_mask
@@ -494,34 +496,14 @@ class Showo2MMUServer:
 
             return lambda *a: prefill(self.params, *a)
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2))
-        def decode_chunk(params, cache_k, cache_v, lengths, tok, key):
-            kpos = jnp.arange(cap)[None, None, None, :]
-            embed = params["showo"]["embed"]
+        # chunk-local fresh-KV decode (decode_chunk.py): the GQA cache
+        # stays loop-invariant across the chunk's steps instead of being
+        # rematerialized per iteration (the v1 finding applied to v2)
+        from showo_tpu.serving.decode_chunk import build_v2_decode_chunk
 
-            def step(carry, _):
-                ck, cv, lens, tok, key = carry
-                key, k1 = jax.random.split(key)
-                bias = jnp.where(
-                    kpos < (lens[:, None, None, None] + 1), 0.0, NEG_INF
-                ).astype(dtype)
-                logits, _, cache = qwen2_forward(
-                    llm, params["showo"], input_embeds=embed[tok[:, None]],
-                    attention_bias=bias,
-                    cache=Qwen2KVCache(ck, cv, lens),
-                    position_ids=lens[:, None], cache_offsets=lens)
-                nxt = _sample_logits(k1, logits[:, -1], temperature, top_k,
-                                     None, top_p)
-                return ((cache.k, cache.v, cache.length,
-                         nxt.astype(jnp.int32), key), nxt.astype(jnp.int32))
-
-            (ck, cv, lens, cur, key), toks = jax.lax.scan(
-                step, (cache_k, cache_v, lengths, tok, key),
-                None, length=chunk)
-            return (ck, cv, lens, cur, key, toks[..., None],
-                    jnp.ones_like(toks))
-
-        decode_wrapper = lambda *a: decode_chunk(self.params, *a)
+        decode_wrapper = build_v2_decode_chunk(
+            self, llm, slots=slots, cap=cap, chunk=chunk, dtype=dtype,
+            temperature=temperature, top_k=top_k, top_p=top_p)
         self._spec = speculative_k
         self._cap = cap
         if speculative_k:
@@ -533,7 +515,7 @@ class Showo2MMUServer:
             make_prefill, decode_wrapper = build_v2_speculative(
                 self, cfg, dtype=dtype, n_img=n_img, cap=cap, chunk=chunk,
                 draft_k=speculative_k, temperature=temperature,
-                top_k=top_k, top_p=top_p)
+                top_k=top_k, top_p=top_p, chunk_local=spec_chunk_local)
 
         if fused_admit is None:
             fused_admit = not speculative_k

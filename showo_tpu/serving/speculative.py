@@ -114,6 +114,77 @@ def make_verify_sample(temperature: float, top_k, top_p):
     return verify
 
 
+def _make_draft(cap: int, K: int):
+    """Prompt-lookup draft for one lane: longest-match-first — bigram
+    (prev, cur), else unigram (cur), else position 0 (acceptance ~0,
+    still correct)."""
+    idx = jnp.arange(cap)
+
+    def draft_one(b, ln, cur):
+        prev = b[jnp.maximum(ln - 1, 0)]
+        m2 = (b[:-1] == prev) & (b[1:] == cur) & (idx[:-1] < ln - 1)
+        j2 = jnp.max(jnp.where(m2, idx[:-1], -1))
+        m1 = (b == cur) & (idx < ln)
+        j1 = jnp.max(jnp.where(m1, idx, -1))
+        start = jnp.where(j2 >= 0, j2 + 2,
+                          jnp.where(j1 >= 0, j1 + 1, 0))
+        start = jnp.minimum(start, cap - K)
+        return jax.lax.dynamic_slice(b, (start,), (K,))
+
+    return draft_one
+
+
+def _make_spec_decode_chunk_local(window_fwd, fresh_shape, *, cap: int,
+                                  chunk: int, K: int, dtype,
+                                  verify=verify_greedy):
+    """Chunk-local (fresh-KV) draft -> verify -> accept chunk program.
+
+    Same contract as _make_spec_decode_chunk, but the big cache is
+    loop-invariant across the chunk's steps (see decode_chunk.py): each
+    step's K+1 window rows land in a side buffer at the lane's
+    chunk-relative offset lens - lens0 (data-dependent — lanes advance
+    by their accepted count m+1), rejected rows are overwritten by the
+    next step's window (m+1 <= K+1 keeps writes contiguous), and the
+    buffer scatters into the donated cache once per chunk.  Token
+    streams are identical to the naive program (same logit sets, fp32
+    summation order aside).
+
+    window_fwd(p, window [slots, K+1], lens0, lens, ck, cv, fk, fv)
+        -> (logits [slots, K+1, V], fk, fv)   (decode_chunk.py makers)
+    Fcap (fresh_shape[2]) must be >= chunk * (K + 1).
+    """
+    from showo_tpu.serving.decode_chunk import scatter_fresh
+
+    draft_one = _make_draft(cap, K)
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
+    def decode_chunk_spec(params, cache_k, cache_v, buf, lengths, tok, key):
+        p = params["showo"]
+        lens0 = lengths
+        fk0 = jnp.zeros(fresh_shape, dtype)
+        fv0 = jnp.zeros(fresh_shape, dtype)
+
+        def step(carry, _):
+            fk, fv, buf, lens, tok, key = carry
+            key, kv = jax.random.split(key)
+            draft = jax.vmap(draft_one)(buf, lens, tok)       # [slots, K]
+            window = jnp.concatenate([tok[:, None], draft], 1)
+            logits, fk, fv = window_fwd(p, window, lens0, lens,
+                                        cache_k, cache_v, fk, fv)
+            out, m = verify(kv, logits, draft)
+            buf = jax.vmap(lambda b, row, ln: jax.lax.dynamic_update_slice(
+                b, row, (ln + 1,)))(buf, out, lens)
+            cur = jnp.take_along_axis(out, m[:, None], axis=1)[:, 0]
+            return (fk, fv, buf, lens + m + 1, cur, key), (out, m + 1)
+
+        (fk, fv, buf, lens, cur, key), (toks, nvalid) = jax.lax.scan(
+            step, (fk0, fv0, buf, lengths, tok, key), None, length=chunk)
+        cache_k, cache_v = scatter_fresh(cache_k, cache_v, fk, fv, lens0)
+        return cache_k, cache_v, buf, lens, cur, key, toks, nvalid
+
+    return decode_chunk_spec
+
+
 def _make_spec_decode_chunk(forward_step, *, cap: int, chunk: int, K: int,
                             dtype, verify=verify_greedy):
     """Shared draft -> verify -> accept chunk program.
@@ -124,24 +195,12 @@ def _make_spec_decode_chunk(forward_step, *, cap: int, chunk: int, K: int,
         -> (out [slots, K+1], m [slots]); lane s emits out[s, :m[s]+1].
     """
 
+    draft_one = _make_draft(cap, K)
+
     @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
     def decode_chunk_spec(params, cache_k, cache_v, buf, lengths, tok, key):
         kpos = jnp.arange(cap)[None, None, None, :]
-        idx = jnp.arange(cap)
         rows = jnp.arange(K + 1)[None, None, :, None]
-
-        def draft_one(b, ln, cur):
-            # longest-match-first: bigram (prev, cur), else unigram (cur),
-            # else position 0 (acceptance ~0, still correct)
-            prev = b[jnp.maximum(ln - 1, 0)]
-            m2 = (b[:-1] == prev) & (b[1:] == cur) & (idx[:-1] < ln - 1)
-            j2 = jnp.max(jnp.where(m2, idx[:-1], -1))
-            m1 = (b == cur) & (idx < ln)
-            j1 = jnp.max(jnp.where(m1, idx, -1))
-            start = jnp.where(j2 >= 0, j2 + 2,
-                              jnp.where(j1 >= 0, j1 + 1, 0))
-            start = jnp.minimum(start, cap - K)
-            return jax.lax.dynamic_slice(b, (start,), (K,))
 
         def step(carry, _):
             ck, cv, buf, lens, tok, key = carry
@@ -178,7 +237,7 @@ def _pick_verify(temperature, top_k, top_p):
 
 def build_v1_speculative(server, cfg, *, dtype, eoi, cap: int, chunk: int,
                          draft_k: int, temperature: float = 1.0,
-                         top_k=1, top_p=None):
+                         top_k=1, top_p=None, chunk_local: bool = True):
     """Returns (make_prefill, decode_wrapper) for ShowoMMUServer.
 
     server.buf is the device token ring [slots, cap]: positions
@@ -227,14 +286,28 @@ def build_v1_speculative(server, cfg, *, dtype, eoi, cap: int, chunk: int,
 
         return wrap
 
-    def forward_step(params, window, bias, ck, cv, lens):
-        logits, cache = showo_forward(cfg, params, input_ids=window,
-                                      attention_bias=bias,
-                                      cache=KVCache(ck, cv, lens))
-        return logits, cache.k, cache.v
+    if chunk_local:
+        # fresh-KV restructuring (decode_chunk.py): the big cache is
+        # loop-invariant across the chunk instead of rematerialized per
+        # step (60% of the naive step at slots=8/cap=512)
+        from showo_tpu.serving.decode_chunk import make_v1_window_forward
 
-    decode_chunk_spec = _make_spec_decode_chunk(
-        forward_step, cap=cap, chunk=chunk, K=K, dtype=dtype, verify=verify)
+        fwd, fresh_shape = make_v1_window_forward(
+            cfg, slots=server.buf.shape[0], cap=cap,
+            Fcap=chunk * (K + 1), dtype=dtype)
+        decode_chunk_spec = _make_spec_decode_chunk_local(
+            fwd, fresh_shape, cap=cap, chunk=chunk, K=K, dtype=dtype,
+            verify=verify)
+    else:
+        def forward_step(params, window, bias, ck, cv, lens):
+            logits, cache = showo_forward(cfg, params, input_ids=window,
+                                          attention_bias=bias,
+                                          cache=KVCache(ck, cv, lens))
+            return logits, cache.k, cache.v
+
+        decode_chunk_spec = _make_spec_decode_chunk(
+            forward_step, cap=cap, chunk=chunk, K=K, dtype=dtype,
+            verify=verify)
 
     def decode_wrapper(ck, cv, lens, tok, key):
         (ck, cv, server.buf, lens, cur, key, toks,
@@ -247,7 +320,7 @@ def build_v1_speculative(server, cfg, *, dtype, eoi, cap: int, chunk: int,
 
 def build_v2_speculative(server, cfg, *, dtype, n_img, cap: int, chunk: int,
                          draft_k: int, temperature: float = 1.0,
-                         top_k=1, top_p=None):
+                         top_k=1, top_p=None, chunk_local: bool = True):
     """Returns (make_prefill, decode_wrapper) for Showo2MMUServer.
 
     Prompts are embeddings; the token ring holds -1 where no id is known
@@ -300,17 +373,28 @@ def build_v2_speculative(server, cfg, *, dtype, n_img, cap: int, chunk: int,
 
         return wrap
 
-    def forward_step(params, window, bias, ck, cv, lens):
-        emb = params["showo"]["embed"][window]
-        logits, _, cache = qwen2_forward(
-            llm, params["showo"], input_embeds=emb, attention_bias=bias,
-            cache=Qwen2KVCache(ck, cv, lens),
-            position_ids=lens[:, None] + jnp.arange(window.shape[1]),
-            cache_offsets=lens)
-        return logits, cache.k, cache.v
+    if chunk_local:
+        from showo_tpu.serving.decode_chunk import make_v2_window_forward
 
-    decode_chunk_spec = _make_spec_decode_chunk(
-        forward_step, cap=cap, chunk=chunk, K=K, dtype=dtype, verify=verify)
+        fwd, fresh_shape = make_v2_window_forward(
+            llm, slots=server.buf.shape[0], cap=cap,
+            Fcap=chunk * (K + 1), dtype=dtype)
+        decode_chunk_spec = _make_spec_decode_chunk_local(
+            fwd, fresh_shape, cap=cap, chunk=chunk, K=K, dtype=dtype,
+            verify=verify)
+    else:
+        def forward_step(params, window, bias, ck, cv, lens):
+            emb = params["showo"]["embed"][window]
+            logits, _, cache = qwen2_forward(
+                llm, params["showo"], input_embeds=emb, attention_bias=bias,
+                cache=Qwen2KVCache(ck, cv, lens),
+                position_ids=lens[:, None] + jnp.arange(window.shape[1]),
+                cache_offsets=lens)
+            return logits, cache.k, cache.v
+
+        decode_chunk_spec = _make_spec_decode_chunk(
+            forward_step, cap=cap, chunk=chunk, K=K, dtype=dtype,
+            verify=verify)
 
     def decode_wrapper(ck, cv, lens, tok, key):
         (ck, cv, server.buf, lens, cur, key, toks,
