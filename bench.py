@@ -596,10 +596,20 @@ def bench_serve_v2(args) -> None:
         return server.submit(emb, start, budget)
 
     # warm every bucket + the decode chunk off the clock
-    for b in buckets:
+    def _wsubmit(b, budget):
         pad = np.zeros((b - 8, cfg.llm.hidden_size), np.float32)
-        submit(pad.astype(reqs[0][0].dtype), 25, 4, np.zeros(4, np.int32))
-    server.run(jax.random.PRNGKey(0))
+        return submit(pad.astype(reqs[0][0].dtype), 25, budget,
+                      np.zeros(4, np.int32))
+
+    for b in buckets:
+        _wsubmit(b, 4)
+        server.run(jax.random.PRNGKey(0))   # idle start: plain prefill
+    if server.engine._fused_admit_for is not None:
+        # admission while a lane decodes compiles the fused-admit program
+        _wsubmit(buckets[0], 8)             # keeps a lane busy
+        for b in buckets:
+            _wsubmit(b, 4)
+        server.run(jax.random.PRNGKey(0))
     server.engine.stat_steps = 0
     for emb, start, budget, ids in reqs:
         submit(emb, start, budget, ids)

@@ -406,21 +406,44 @@ class ShowoMMUServer:
                 top_k=top_k, top_p=top_p, chunk_local=spec_chunk_local)
 
         # fused admission (prefill inside a decode step, fused_admit.py):
-        # default ON for the plain path with fuse_parallel_mlp params; the
-        # speculative path keeps its own prefill (its draft-ring state does
-        # not flow through the fused step)
+        # default ON for the plain path with fuse_parallel_mlp params.  In
+        # speculative mode the admission rides a PLAIN fused decode step
+        # (one sampled token per active lane, no drafting that step) and
+        # the draft ring records the step afterwards (spec_buf_update) —
+        # token-exact, but measured SLOWER than standalone prefills there
+        # (964.7 vs 1205.6 tok/s int8+spec2: the fused step's decode half
+        # still pays the full per-step cache materialization the
+        # chunk-local decode eliminated), so it defaults off with
+        # speculative_k and stays available via fused_admit=True.
         if fused_admit is None:
             fused_admit = (not speculative_k
                            and "win" in params["showo"]["layers"])
         fused_for = None
         if fused_admit:
-            assert not speculative_k, \
-                "fused admission is not wired for the speculative path"
-            from showo_tpu.serving.fused_admit import build_v1_fused_admit
+            from showo_tpu.serving.fused_admit import (build_v1_fused_admit,
+                                                       spec_buf_update)
 
-            fused_for = build_v1_fused_admit(
+            base_for = build_v1_fused_admit(
                 self, cfg, dtype=dtype, eoi=eoi, cap=cap,
                 temperature=temperature, top_k=top_k, top_p=top_p)
+            if speculative_k:
+                upd = jax.jit(spec_buf_update)
+
+                def fused_for(bucket, _base=base_for):
+                    base = _base(bucket)
+
+                    def wrap(ck, cv, lengths, cur, padded, true_len, slot,
+                             k1, k2):
+                        ck, cv, cur, toks, tok0 = base(
+                            ck, cv, lengths, cur, padded, true_len, slot,
+                            k1, k2)
+                        self.buf = upd(self.buf, toks, lengths, padded[0],
+                                       tok0, slot, true_len)
+                        return ck, cv, cur, toks, tok0
+
+                    return wrap
+            else:
+                fused_for = base_for
 
         self.engine = ContinuousBatchingEngine(
             slots=slots, cap=cap, chunk=chunk, prefill_for=make_prefill,
@@ -518,16 +541,35 @@ class Showo2MMUServer:
                 top_k=top_k, top_p=top_p, chunk_local=spec_chunk_local)
 
         if fused_admit is None:
-            fused_admit = not speculative_k
+            fused_admit = not speculative_k   # see the v1 comment above
         fused_for = None
         if fused_admit:
-            assert not speculative_k, \
-                "fused admission is not wired for the speculative path"
-            from showo_tpu.serving.fused_admit import build_v2_fused_admit
+            from showo_tpu.serving.fused_admit import (build_v2_fused_admit,
+                                                       spec_buf_update)
 
-            fused_for = build_v2_fused_admit(
+            base_for = build_v2_fused_admit(
                 self, cfg, dtype=dtype, n_img=n_img, cap=cap,
                 temperature=temperature, top_k=top_k, top_p=top_p)
+            if speculative_k:
+                # admission rides a plain fused step; the draft ring
+                # records it (see the v1 comment above)
+                upd = jax.jit(spec_buf_update)
+
+                def fused_for(bucket, _base=base_for):
+                    base = _base(bucket)
+
+                    def wrap(ck, cv, lengths, cur, padded, true_len, slot,
+                             k1, k2, img_start, lookup_row):
+                        ck, cv, cur, toks, tok0 = base(
+                            ck, cv, lengths, cur, padded, true_len, slot,
+                            k1, k2, img_start)
+                        self.buf = upd(self.buf, toks, lengths, lookup_row,
+                                       tok0, slot, true_len)
+                        return ck, cv, cur, toks, tok0
+
+                    return wrap
+            else:
+                fused_for = base_for
 
         self.engine = ContinuousBatchingEngine(
             slots=slots, cap=cap, chunk=chunk, prefill_for=make_prefill,

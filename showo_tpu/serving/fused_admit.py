@@ -271,3 +271,26 @@ def build_v2_fused_admit(server, cfg, *, dtype, n_img: int, cap: int,
         return lambda *a: fused(server.params, *a)
 
     return make
+
+
+def spec_buf_update(buf, toks, lengths, prompt_row, tok0, slot, true_len):
+    """Record a fused-admit step in the speculative token ring.
+
+    The admission rides a PLAIN fused decode step (each active lane
+    advances exactly one sampled token, no drafting that step), so the
+    ring gets: toks[s] at position lengths[s] + 1 for every active lane
+    (ring invariant: buf[len] is the token to feed next), the admitted
+    lane's known-id row (padded prompt ids for v1, the -1-masked
+    lookup row for v2) at position 0, and its first sampled token at
+    true_len.  Idle lanes (length 0, including the admitted slot before
+    its overwrite) are untouched.
+    """
+    active = lengths > 0
+    upd = jax.vmap(lambda b, t, ln: jax.lax.dynamic_update_slice(
+        b, t[None], (ln + 1,)))(buf, toks, lengths)
+    buf = jnp.where(active[:, None], upd, buf)
+    buf = jax.lax.dynamic_update_slice(
+        buf, prompt_row.astype(jnp.int32)[None], (slot, 0))
+    buf = jax.lax.dynamic_update_slice(buf, tok0[None, None],
+                                       (slot, true_len))
+    return buf

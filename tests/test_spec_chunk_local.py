@@ -94,3 +94,36 @@ def test_v2_spec_chunk_local_matches_naive():
     local = _run_v2(params, reqs, True)
     naive = _run_v2(params, reqs, False)
     assert local == naive
+
+
+def test_v1_spec_fused_admission_matches_plain_greedy():
+    """Speculative serving with fused admissions (admissions ride a plain
+    fused decode step; spec_buf_update records it in the draft ring) must
+    stay token-exact vs per-request greedy decode."""
+    from showo_tpu.models.phi import fuse_parallel_mlp
+    from showo_tpu.models.showo import showo_mmu_generate
+    from showo_tpu.ops.masks import omni_mask_mmu
+
+    params = jax.jit(lambda k: init_showo_params(CFG, k, jnp.float32))(
+        jax.random.PRNGKey(0))
+    params = dict(params, showo=fuse_parallel_mlp(params["showo"]))
+    rng = np.random.default_rng(17)
+    reqs = [(_prompt(rng, q), b)
+            for q, b in [(3, 6), (8, 9), (2, 5), (9, 7), (6, 10)]]
+
+    server = ShowoMMUServer(CFG, params, slots=2, cap=64, chunk=3,
+                            buckets=(16, 24), temperature=1.0, top_k=1,
+                            speculative_k=2, fused_admit=True)
+    assert server.engine._fused_admit_for is not None
+    handles = [server.submit(p, b) for p, b in reqs]
+    server.run(jax.random.PRNGKey(23))
+
+    for h, (prompt, budget) in zip(handles, reqs):
+        bias = omni_mask_mmu(jnp.asarray(prompt)[None], eoi_id=EOI,
+                             dtype=jnp.float32)
+        toks, _ = showo_mmu_generate(
+            CFG, params, jnp.asarray(prompt)[None], jax.random.PRNGKey(7),
+            prompt_bias=bias, max_new_tokens=budget, temperature=1.0,
+            top_k=1)
+        assert h.tokens == list(np.asarray(toks)[0]), \
+            f"request {h.uid} diverged under fused admission"
