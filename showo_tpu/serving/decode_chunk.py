@@ -63,98 +63,37 @@ def _project_in(llm, lp, x):
 
 def build_v1_decode_chunk(server, cfg, *, dtype, cap: int, chunk: int,
                           temperature: float, top_k: Optional[int],
-                          top_p: Optional[float]):
+                          top_p: Optional[float], slots: int):
     """Returns the engine decode_chunk callable (same contract as the
     naive one in ShowoMMUServer): (cache_k, cache_v, lengths, tok, key)
     -> (cache_k, cache_v, lengths', cur, key, toks [chunk, slots, 1],
-    nvalid [chunk, slots])."""
-    llm = cfg.llm
-    H, Dh, D = llm.num_heads, llm.head_dim, llm.hidden_size
+    nvalid [chunk, slots]).
+
+    Implemented as the W=1 special case of make_v1_window_forward
+    (step i's window offset is i for every lane), mirroring
+    build_v2_decode_chunk — one layer body to keep in sync with
+    models/phi.py."""
+    fwd, fresh_shape = make_v1_window_forward(
+        cfg, slots=slots, cap=cap, Fcap=chunk, dtype=dtype)
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def decode_chunk(params, cache_k, cache_v, lengths, tok, key):
         p = params["showo"]
-        slots = lengths.shape[0]
-        kpos = jnp.arange(cap)[None, None, None, :]
-        # cache cols valid at chunk start — static across the chunk
-        big_bias = jnp.where(kpos < lengths[:, None, None, None], 0.0,
-                             NEG_INF).astype(dtype)
-        jpos = jnp.arange(chunk)[None, None, None, :]
-        fshape = (llm.num_layers, slots, chunk, H, Dh)
-        fk0 = jnp.zeros(fshape, dtype)
-        fv0 = jnp.zeros(fshape, dtype)
+        fk0 = jnp.zeros(fresh_shape, dtype)
+        fv0 = jnp.zeros(fresh_shape, dtype)
 
         def step(carry, i):
             fk, fv, tok, key = carry
             key, k1 = jax.random.split(key)
-            h = p["embed"][tok][:, None]                     # [slots, 1, D]
-            pos = (lengths + i)[:, None]
-            cos, sin = _rope_tables(pos, llm.rotary_dim, llm.rope_theta)
-            fresh_bias = jnp.where(jpos <= i, 0.0, NEG_INF).astype(dtype)
-
-            def layer(h, xs):
-                lp, (ckl, cvl), (fkl, fvl) = xs
-                x = layer_norm(h, lp["ln"]["scale"], lp["ln"]["bias"],
-                               llm.layer_norm_eps)
-                qkv, mlp = _project_in(llm, lp, x)
-                q, k, v = jnp.split(qkv, 3, axis=-1)
-                q = q.reshape(slots, 1, H, Dh)
-                k = k.reshape(slots, 1, H, Dh)
-                v = v.reshape(slots, 1, H, Dh)
-                q = layer_norm(q, lp["q_ln"]["scale"], lp["q_ln"]["bias"],
-                               llm.layer_norm_eps)
-                k = layer_norm(k, lp["k_ln"]["scale"], lp["k_ln"]["bias"],
-                               llm.layer_norm_eps)
-                q, k = apply_rope(q, k, cos, sin, llm.rotary_dim)
-                fkl = jax.lax.dynamic_update_slice(
-                    fkl, k.astype(fkl.dtype), (0, i, 0, 0))
-                fvl = jax.lax.dynamic_update_slice(
-                    fvl, v.astype(fvl.dtype), (0, i, 0, 0))
-                # two score pieces, ONE softmax over their union — the
-                # same logit set as attention over the scattered cache
-                scale = 1.0 / (Dh ** 0.5)
-                sdt = jnp.float32 if llm.attn_fp32 else jnp.bfloat16
-                s1 = jnp.einsum("bqhd,bkhd->bhqk", q, ckl,
-                                preferred_element_type=sdt) * scale
-                s2 = jnp.einsum("bqhd,bkhd->bhqk", q, fkl,
-                                preferred_element_type=sdt) * scale
-                s = jnp.concatenate(
-                    [s1 + big_bias.astype(sdt), s2 + fresh_bias.astype(sdt)],
-                    axis=-1)
-                pr = jax.nn.softmax(s.astype(sdt), axis=-1).astype(cvl.dtype)
-                attn = (jnp.einsum("bhqk,bkhd->bqhd", pr[..., :cap], cvl,
-                                   preferred_element_type=jnp.float32)
-                        + jnp.einsum("bhqk,bkhd->bqhd", pr[..., cap:], fvl,
-                                     preferred_element_type=jnp.float32)
-                        ).astype(h.dtype).reshape(slots, 1, D)
-                if "wout" in lp:
-                    z = jnp.concatenate([attn, jax.nn.gelu(
-                        mlp, approximate=True)], axis=-1)
-                    return (h + z @ _wk(lp["wout"]) + lp["wout"]["bias"],
-                            (fkl, fvl))
-                attn = attn @ _wk(lp["dense"]) + lp["dense"]["bias"]
-                return h + attn + mlp, (fkl, fvl)
-
-            h, (fk, fv) = jax.lax.scan(
-                layer, h, (p["layers"], (cache_k, cache_v), (fk, fv)),
-                unroll=llm.scan_unroll)
-            h = layer_norm(h, p["final_ln"]["scale"], p["final_ln"]["bias"],
-                           llm.layer_norm_eps)
-            logits = h[:, -1] @ _wk(p["lm_head"]) + p["lm_head"]["bias"]
-            nxt = _sample_logits(k1, logits, temperature, top_k, None,
-                                 top_p).astype(jnp.int32)
+            logits, fk, fv = fwd(p, tok[:, None], lengths, lengths + i,
+                                 cache_k, cache_v, fk, fv)
+            nxt = _sample_logits(k1, logits[:, -1], temperature, top_k,
+                                 None, top_p).astype(jnp.int32)
             return (fk, fv, nxt, key), nxt
 
         (fk, fv, cur, key), toks = jax.lax.scan(
             step, (fk0, fv0, tok, key), jnp.arange(chunk))
-
-        # ONE scatter of the chunk's rows into the donated cache
-        upd_l = jax.vmap(
-            lambda c, f, o: jax.lax.dynamic_update_slice(c, f, (o, 0, 0)),
-            in_axes=(0, 0, None))                    # over layers
-        upd = jax.vmap(upd_l, in_axes=(1, 1, 0), out_axes=1)  # over lanes
-        cache_k = upd(cache_k, fk.astype(cache_k.dtype), lengths)
-        cache_v = upd(cache_v, fv.astype(cache_v.dtype), lengths)
+        cache_k, cache_v = scatter_fresh(cache_k, cache_v, fk, fv, lengths)
         return (cache_k, cache_v, lengths + chunk, cur, key,
                 toks[..., None], jnp.ones_like(toks))
 
@@ -176,7 +115,14 @@ def scatter_fresh(cache_k, cache_v, fk, fv, lens0):
     """Scatter side buffers [L, slots, Fcap, h, Dh] into the caches at
     each lane's chunk-start length.  Rows past a lane's final length are
     garbage; they are never exposed (bias masks cols >= length) and the
-    next chunk's scatter (or an admission prefill) overwrites them."""
+    next chunk's scatter (or an admission prefill) overwrites them.
+
+    INVARIANT: lens0 + Fcap <= cap for every lane, guaranteed by the
+    engine's submit-time margin check (ContinuousBatchingEngine._fill_slots
+    admits a request only when its budget + chunk margin fits cap).  If it
+    were violated, dynamic_update_slice's index clamping would shift the
+    whole Fcap-row block backwards and silently overwrite valid earlier
+    cache rows — there is no in-graph guard here."""
     upd_l = jax.vmap(
         lambda c, f, o: jax.lax.dynamic_update_slice(c, f, (o, 0, 0)),
         in_axes=(0, 0, None))                        # over layers

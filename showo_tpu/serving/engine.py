@@ -391,7 +391,7 @@ class ShowoMMUServer:
 
         decode_wrapper = build_v1_decode_chunk(
             self, cfg, dtype=dtype, cap=cap, chunk=chunk,
-            temperature=temperature, top_k=top_k, top_p=top_p)
+            temperature=temperature, top_k=top_k, top_p=top_p, slots=slots)
         if speculative_k:
             # prompt-lookup speculative decoding (speculative.py): greedy
             # (top_k=1) is token-exact vs plain greedy decode; any other

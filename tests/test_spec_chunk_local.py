@@ -96,6 +96,40 @@ def test_v2_spec_chunk_local_matches_naive():
     assert local == naive
 
 
+def test_v2_spec_fused_admission_matches_plain_greedy():
+    """v2 analog of the v1 test below: speculative serving with fused
+    admissions (lookup_row threaded through the fused step's meta as
+    (img_start, lookup_row)) must stay token-exact vs the same requests
+    decoded without speculation or fused admission."""
+    params = jax.jit(lambda k: init_showo2_params(V2CFG, k, jnp.float32))(
+        jax.random.PRNGKey(1))
+    D = V2CFG.llm.hidden_size
+    rng = np.random.default_rng(41)
+    reqs = []
+    for i, (s_len, b) in enumerate([(20, 7), (28, 5), (24, 9), (18, 6)]):
+        emb = np.asarray(jax.random.normal(jax.random.PRNGKey(60 + i),
+                                           (s_len, D), jnp.float32))
+        ids = rng.integers(2, 150, size=s_len).astype(np.int32)
+        reqs.append((emb, 4, b, ids))
+
+    def run(spec_k, fused):
+        server = Showo2MMUServer(
+            V2CFG, params, slots=2, cap=96, chunk=3, buckets=(32, 48),
+            temperature=1.0, top_k=1, speculative_k=spec_k,
+            fused_admit=fused)
+        if fused:
+            assert server.engine._fused_admit_for is not None
+        handles = [server.submit(emb, start, b, lookup_ids=ids)
+                   for emb, start, b, ids in reqs]
+        server.run(jax.random.PRNGKey(35))
+        if fused:
+            assert server.engine._fused_cache, \
+                "fused admission path was never exercised"
+        return [h.tokens for h in handles]
+
+    assert run(2, True) == run(0, False)
+
+
 def test_v1_spec_fused_admission_matches_plain_greedy():
     """Speculative serving with fused admissions (admissions ride a plain
     fused decode step; spec_buf_update records it in the draft ring) must

@@ -1,7 +1,8 @@
 """A/B the v2 chunk-local decode chunk vs a naive qwen2_forward chunk
 at the serving shape (slots=8, cap=976, chunk=16, 1.5B int8)."""
+import os
 import sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import time
 import jax
