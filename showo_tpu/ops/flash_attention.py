@@ -233,9 +233,10 @@ def omni_attention_packed(q, k, v, seg, pad=None, last_pad=None, prefix=None,
                           num_heads: int = 32,
                           num_kv_heads: Optional[int] = None,
                           sm_scale: Optional[float] = None,
-                          block_q: int = DEFAULT_BLOCK_Q,
+                          block_q: Optional[int] = None,
                           interpret: bool = False,
-                          q_positions=None):
+                          q_positions=None,
+                          gqa_stack: bool = False):
     """q: [B, Q, H*D]; k, v: [B, S, Hkv*D] (GQA supported).  Same
     predicate semantics as :func:`omni_attention` but in the packed
     projection layout (no transposes in HBM).  q_positions may be [Q]
@@ -246,6 +247,11 @@ def omni_attention_packed(q, k, v, seg, pad=None, last_pad=None, prefix=None,
     D = HD // num_heads
     if num_kv_heads is None:
         num_kv_heads = num_heads
+    if block_q is None:
+        # measured on v5e (tools/probe_packed_attn_shapes.py, S=986):
+        # 256-row q blocks beat 128 by ~13% (DiT and Qwen) — bigger M
+        # per dot; 512 regresses (VMEM pressure).  128 when Q is small.
+        block_q = 256 if Q >= 256 else DEFAULT_BLOCK_Q
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(D)
     if q_positions is None:
@@ -270,6 +276,20 @@ def omni_attention_packed(q, k, v, seg, pad=None, last_pad=None, prefix=None,
         last_pad = jnp.full((B,), -1, jnp.int32)
     if prefix is None:
         prefix = jnp.zeros((B,), jnp.int32)
+
+    # GQA: stack the q-head groups along rows so each kv head costs one
+    # wide dot (see _omni_attention_gqa_stacked).  MEASURED NEGATIVE on
+    # v5e at the t2i shapes (tools/probe_packed_attn_shapes.py: DiT 5.06
+    # vs 3.61 ms, Qwen 2.42 vs 1.88 ms per 10 applications) — the HBM
+    # transposes into [B,Hkv,D,G*Qp] layout cost more than the wider
+    # dots save.  Kept opt-in as the recorded experiment.
+    group = num_heads // num_kv_heads
+    if gqa_stack and group > 1 and Sp * block_q * group * 4 <= 8 * 1024 * 1024:
+        return _omni_attention_gqa_stacked(
+            q, k, v, seg, pad, last_pad, prefix, q_positions,
+            num_heads=num_heads, num_kv_heads=num_kv_heads,
+            sm_scale=sm_scale, block_q=block_q, S=S,
+            interpret=interpret)[:, :Q, :]
 
     seg_q = jnp.take_along_axis(
         jnp.pad(seg, ((0, 0), (0, 1))),
@@ -313,6 +333,83 @@ def omni_attention_packed(q, k, v, seg, pad=None, last_pad=None, prefix=None,
       seg_q.astype(jnp.int32)[:, None, :], pos_q.astype(jnp.int32))
 
     return out[:, :Q, :]
+
+
+def _omni_attention_gqa_stacked(q, k, v, seg, pad, last_pad, prefix,
+                                q_positions, *, num_heads, num_kv_heads,
+                                sm_scale, block_q, S, interpret):
+    """GQA-stacked packed attention: the `group` q-heads sharing one kv
+    head are stacked along the ROW axis outside the kernel (an XLA
+    transpose), so the grid is (B, Hkv, row-blocks) and every program
+    runs ONE [D, group*block_q] x [D, S] dot pair instead of `group`
+    narrow per-head dots — 4x (DiT) / 6x (Qwen decode prefill) fewer
+    Mosaic dots at proportionally larger M.  Reuses _attn_kernel (the
+    transposed-layout kernel) unchanged.
+
+    MEASURED NEGATIVE (v5e, tools/probe_packed_attn_shapes.py): loses
+    ~35%/25% to the per-head packed loop at the DiT/Qwen S=986 shapes —
+    the layout transposes dominate.  Opt-in via gqa_stack=True only.
+
+    q [B, Qp, H*D] (padded), k/v [B, Sp, Hkv*D] (padded), q_positions
+    [B, Qp]; returns [B, Qp, H*D].
+    """
+    B, Qp, HD = q.shape
+    Sp = k.shape[1]
+    D = HD // num_heads
+    G = num_heads // num_kv_heads
+    bq2 = block_q * G                     # always divides G*Qp
+
+    # [B, Qp, Hkv, G, D] -> [B, Hkv, D, G*Qp]  (row g*Qp+pos)
+    qT = q.reshape(B, Qp, num_kv_heads, G, D).transpose(0, 2, 4, 3, 1) \
+        .reshape(B, num_kv_heads, D, G * Qp)
+    kT = k.reshape(B, Sp, num_kv_heads, D).transpose(0, 2, 3, 1)
+    vT = v.reshape(B, Sp, num_kv_heads, D).transpose(0, 2, 3, 1)
+
+    seg_q = jnp.take_along_axis(
+        jnp.pad(seg, ((0, 0), (0, 1))),
+        jnp.clip(q_positions, 0, Sp), axis=1)           # [B, Qp]
+    seg_qt = jnp.tile(seg_q, (1, G))[:, None, :]        # [B, 1, G*Qp]
+    pos_qt = jnp.tile(q_positions, (1, G))[:, None, :]
+
+    grid = (B, num_kv_heads, (G * Qp) // bq2)
+    kernel = functools.partial(_attn_kernel, sm_scale=sm_scale,
+                               block_q=bq2, seq_len=S)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, D, bq2), lambda b, h, i, *_: (b, h, 0, i)),
+            pl.BlockSpec((1, 1, D, Sp), lambda b, h, i, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, D, Sp), lambda b, h, i, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Sp), lambda b, h, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Sp), lambda b, h, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 1, bq2), lambda b, h, i, *_: (b, 0, i)),
+            pl.BlockSpec((1, 1, bq2), lambda b, h, i, *_: (b, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, D, bq2),
+                               lambda b, h, i, *_: (b, h, 0, i)),
+    )
+
+    def kernel_squeeze(lp_r, pf_r, q_r, k_r, v_r, seg_r, pad_r, segq_r,
+                       posq_r, o_r):
+        kernel(lp_r, pf_r, q_r.at[0, 0], k_r.at[0, 0], v_r.at[0, 0],
+               seg_r, pad_r, segq_r, posq_r, o_r.at[0, 0])
+
+    outT = pl.pallas_call(
+        kernel_squeeze,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, num_kv_heads, D, G * Qp),
+                                       q.dtype),
+        interpret=interpret,
+    )(last_pad.astype(jnp.int32), prefix.astype(jnp.int32),
+      qT, kT, vT, seg.astype(jnp.int32)[:, None, :],
+      pad.astype(jnp.int32)[:, None, :],
+      seg_qt.astype(jnp.int32), pos_qt.astype(jnp.int32))
+
+    # [B, Hkv, D, G, Qp] -> [B, Qp, Hkv*G*D]
+    return outT.reshape(B, num_kv_heads, D, G, Qp) \
+        .transpose(0, 4, 1, 3, 2).reshape(B, Qp, HD)
 
 
 # ---------------------------------------------------------------------------
