@@ -174,7 +174,8 @@ def main_v2(config) -> None:
         temperature=float(config.get("temperature", 1.0)),
         top_k=(int(config["top_k"]) if "top_k" in config else 1),
         top_p=(float(config["top_p"]) if "top_p" in config else None),
-        eos_token=int(ids["eos_id"]), lookahead=lookahead)
+        eos_token=int(ids["eos_id"]), lookahead=lookahead,
+        kv_int8=bool(int(config.get("kv_int8", 0))))
     handles = [server.submit(p, img_start, b)
                for p, b in zip(prompts, budgets)]
     t0 = time.perf_counter()
@@ -264,7 +265,8 @@ def main() -> None:
         top_k=(int(config["top_k"]) if "top_k" in config else 1),
         top_p=(float(config["top_p"]) if "top_p" in config else None),
         eot_token=int(sp["<|eot|>"]), lookahead=lookahead,
-        speculative_k=spec)
+        speculative_k=spec,
+        kv_int8=bool(int(config.get("kv_int8", 0))))
     handles = [server.submit(p, b) for p, b in zip(prompts, budgets)]
     import time
 

@@ -111,6 +111,43 @@ def build_v1_decode_chunk(server, cfg, *, dtype, cap: int, chunk: int,
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# int8 KV cache: cache_k/cache_v become (data int8 [L,slots,cap,h,Dh],
+# scales f32 [L,slots,cap,h]) pairs — per-row-per-head absmax.  The
+# engine threads the caches opaquely, so only the builders here (and the
+# prefill writers in engine.py) see the pair.  Dequantization never
+# materializes: the K scale is applied to the SCORES after the q x k_int8
+# dot (one [slots,h,1,cap] multiply), the V scale folds into the PROBS
+# before the pr x v_int8 dot — the cache streams from HBM at half the
+# bf16 traffic, which is the point (cache reads ~6% of the v1 step).
+# ---------------------------------------------------------------------------
+
+
+def kv_quantize(x):
+    """[..., h, Dh] bf16 -> (int8 rounded, f32 absmax/127 scales [..., h])."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    q = jnp.round(xf / jnp.maximum(scale, 1e-8)[..., None])
+    return q.astype(jnp.int8), scale
+
+
+def kv_cache_zeros(shape, int8: bool, dtype):
+    if int8:
+        return (jnp.zeros(shape, jnp.int8), jnp.zeros(shape[:-1], jnp.float32))
+    return jnp.zeros(shape, dtype)
+
+
+def kv_cache_write(cache, rows, index4):
+    """dynamic_update_slice rows [L,1,S,h,Dh] at index4 (4d leading idx),
+    transparent over the (data, scales) int8 pair."""
+    if isinstance(cache, tuple):
+        qr, sr = kv_quantize(rows)
+        return (jax.lax.dynamic_update_slice(cache[0], qr, index4 + (0,)),
+                jax.lax.dynamic_update_slice(cache[1], sr, index4))
+    return jax.lax.dynamic_update_slice(cache, rows.astype(cache.dtype),
+                                        index4 + (0,))
+
+
 def scatter_fresh(cache_k, cache_v, fk, fv, lens0):
     """Scatter side buffers [L, slots, Fcap, h, Dh] into the caches at
     each lane's chunk-start length.  Rows past a lane's final length are
@@ -122,13 +159,25 @@ def scatter_fresh(cache_k, cache_v, fk, fv, lens0):
     admits a request only when its budget + chunk margin fits cap).  If it
     were violated, dynamic_update_slice's index clamping would shift the
     whole Fcap-row block backwards and silently overwrite valid earlier
-    cache rows — there is no in-graph guard here."""
+    cache rows — there is no in-graph guard here.
+
+    int8 caches ((data, scales) pairs): the bf16 side buffers are
+    quantized here, once per chunk."""
     upd_l = jax.vmap(
         lambda c, f, o: jax.lax.dynamic_update_slice(c, f, (o, 0, 0)),
         in_axes=(0, 0, None))                        # over layers
     upd = jax.vmap(upd_l, in_axes=(1, 1, 0), out_axes=1)   # over lanes
-    return (upd(cache_k, fk.astype(cache_k.dtype), lens0),
-            upd(cache_v, fv.astype(cache_v.dtype), lens0))
+    upd_s = jax.vmap(jax.vmap(
+        lambda c, f, o: jax.lax.dynamic_update_slice(c, f, (o, 0)),
+        in_axes=(0, 0, None)), in_axes=(1, 1, 0), out_axes=1)
+
+    def one(cache, fresh):
+        if isinstance(cache, tuple):
+            q, s = kv_quantize(fresh)
+            return (upd(cache[0], q, lens0), upd_s(cache[1], s, lens0))
+        return upd(cache, fresh.astype(cache.dtype), lens0)
+
+    return one(cache_k, fk), one(cache_v, fv)
 
 
 def make_v1_window_forward(cfg, *, slots: int, cap: int, Fcap: int, dtype):
@@ -180,19 +229,45 @@ def make_v1_window_forward(cfg, *, slots: int, cap: int, Fcap: int, dtype):
             fvl = wr(fvl, v.astype(fvl.dtype), off)
             scale = 1.0 / (Dh ** 0.5)
             sdt = jnp.float32 if llm.attn_fp32 else jnp.bfloat16
-            s1 = jnp.einsum("bqhd,bkhd->bhqk", q, ckl,
-                            preferred_element_type=sdt) * scale
-            s2 = jnp.einsum("bqhd,bkhd->bhqk", q, fkl,
-                            preferred_element_type=sdt) * scale
-            s = jnp.concatenate(
-                [s1 + big_bias.astype(sdt), s2 + fresh_bias.astype(sdt)],
-                axis=-1)
-            pr = jax.nn.softmax(s.astype(sdt), axis=-1).astype(cvl.dtype)
-            attn = (jnp.einsum("bhqk,bkhd->bqhd", pr[..., :cap], cvl,
-                               preferred_element_type=jnp.float32)
-                    + jnp.einsum("bhqk,bkhd->bqhd", pr[..., cap:], fvl,
-                                 preferred_element_type=jnp.float32)
-                    ).astype(h.dtype).reshape(slots, W, D)
+            if isinstance(ckl, tuple):
+                # int8 cache: k-scales applied to the SCORES post-dot
+                # (one [slots,H,1,cap] multiply), v-scales folded into
+                # the PROBS pre-dot — no dequantized cache in HBM
+                (ckq, cks), (cvq, cvs) = ckl, cvl
+                s1 = jnp.einsum("bqhd,bkhd->bhqk", q,
+                                ckq.astype(q.dtype),
+                                preferred_element_type=sdt) * scale
+                s1 = s1 * cks.transpose(0, 2, 1)[:, :, None, :].astype(sdt)
+                s2 = jnp.einsum("bqhd,bkhd->bhqk", q, fkl,
+                                preferred_element_type=sdt) * scale
+                s = jnp.concatenate(
+                    [s1 + big_bias.astype(sdt),
+                     s2 + fresh_bias.astype(sdt)], axis=-1)
+                pr = jax.nn.softmax(s.astype(sdt), axis=-1)
+                pr_big = (pr[..., :cap]
+                          * cvs.transpose(0, 2, 1)[:, :, None, :].astype(
+                              pr.dtype)).astype(h.dtype)
+                attn = (jnp.einsum("bhqk,bkhd->bqhd", pr_big,
+                                   cvq.astype(h.dtype),
+                                   preferred_element_type=jnp.float32)
+                        + jnp.einsum("bhqk,bkhd->bqhd",
+                                     pr[..., cap:].astype(fvl.dtype), fvl,
+                                     preferred_element_type=jnp.float32)
+                        ).astype(h.dtype).reshape(slots, W, D)
+            else:
+                s1 = jnp.einsum("bqhd,bkhd->bhqk", q, ckl,
+                                preferred_element_type=sdt) * scale
+                s2 = jnp.einsum("bqhd,bkhd->bhqk", q, fkl,
+                                preferred_element_type=sdt) * scale
+                s = jnp.concatenate(
+                    [s1 + big_bias.astype(sdt),
+                     s2 + fresh_bias.astype(sdt)], axis=-1)
+                pr = jax.nn.softmax(s.astype(sdt), axis=-1).astype(cvl.dtype)
+                attn = (jnp.einsum("bhqk,bkhd->bqhd", pr[..., :cap], cvl,
+                                   preferred_element_type=jnp.float32)
+                        + jnp.einsum("bhqk,bkhd->bqhd", pr[..., cap:], fvl,
+                                     preferred_element_type=jnp.float32)
+                        ).astype(h.dtype).reshape(slots, W, D)
             if "wout" in lp:
                 z = jnp.concatenate([attn, jax.nn.gelu(
                     mlp, approximate=True)], axis=-1)
@@ -264,17 +339,43 @@ def make_v2_window_forward(llm, *, slots: int, cap: int, Fcap: int, dtype):
             fkl = wr(fkl, k.astype(fkl.dtype), off)
             fvl = wr(fvl, v.astype(fvl.dtype), off)
             qg = q.reshape(slots, W, Hkv, G, Dh)
-            s1 = jnp.einsum("bqhgd,bkhd->bhgqk", qg, ckl,
-                            preferred_element_type=jnp.float32) \
-                / math.sqrt(Dh)
-            s2 = jnp.einsum("bqhgd,bkhd->bhgqk", qg, fkl,
-                            preferred_element_type=jnp.float32) \
-                / math.sqrt(Dh)
-            s = jnp.concatenate([s1 + big_bias, s2 + fresh_bias], axis=-1)
-            pr = jax.nn.softmax(s, axis=-1).astype(cvl.dtype)
-            attn = (jnp.einsum("bhgqk,bkhd->bqhgd", pr[..., :cap], cvl)
-                    + jnp.einsum("bhgqk,bkhd->bqhgd", pr[..., cap:], fvl)
-                    ).reshape(slots, W, H * Dh)
+            if isinstance(ckl, tuple):
+                # int8 GQA cache: same score/prob scale folding as the v1
+                # path (k-scales on the scores post-dot, v-scales on the
+                # probs pre-dot) — see the module comment above
+                (ckq, cks), (cvq, cvs) = ckl, cvl
+                s1 = jnp.einsum("bqhgd,bkhd->bhgqk", qg,
+                                ckq.astype(qg.dtype),
+                                preferred_element_type=jnp.float32) \
+                    / math.sqrt(Dh)
+                s1 = s1 * cks.transpose(0, 2, 1)[:, :, None, None, :]
+                s2 = jnp.einsum("bqhgd,bkhd->bhgqk", qg, fkl,
+                                preferred_element_type=jnp.float32) \
+                    / math.sqrt(Dh)
+                s = jnp.concatenate([s1 + big_bias, s2 + fresh_bias],
+                                    axis=-1)
+                pr = jax.nn.softmax(s, axis=-1)
+                pr_big = (pr[..., :cap]
+                          * cvs.transpose(0, 2, 1)[:, :, None, None, :]
+                          ).astype(h.dtype)
+                attn = (jnp.einsum("bhgqk,bkhd->bqhgd", pr_big,
+                                   cvq.astype(h.dtype))
+                        + jnp.einsum("bhgqk,bkhd->bqhgd",
+                                     pr[..., cap:].astype(fvl.dtype), fvl)
+                        ).reshape(slots, W, H * Dh)
+            else:
+                s1 = jnp.einsum("bqhgd,bkhd->bhgqk", qg, ckl,
+                                preferred_element_type=jnp.float32) \
+                    / math.sqrt(Dh)
+                s2 = jnp.einsum("bqhgd,bkhd->bhgqk", qg, fkl,
+                                preferred_element_type=jnp.float32) \
+                    / math.sqrt(Dh)
+                s = jnp.concatenate([s1 + big_bias, s2 + fresh_bias],
+                                    axis=-1)
+                pr = jax.nn.softmax(s, axis=-1).astype(cvl.dtype)
+                attn = (jnp.einsum("bhgqk,bkhd->bqhgd", pr[..., :cap], cvl)
+                        + jnp.einsum("bhgqk,bkhd->bqhgd", pr[..., cap:], fvl)
+                        ).reshape(slots, W, H * Dh)
             h = h + attn @ qwk(lp["o"])
             x2 = rms_norm(h, lp["post_ln"]["scale"], llm.rms_norm_eps)
             return h + _mlp(llm, lp, x2), (fkl, fvl)

@@ -341,11 +341,14 @@ class ShowoMMUServer:
                  eot_token: Optional[int] = None, lookahead: int = 4,
                  speculative_k: int = 0,
                  spec_chunk_local: bool = True,
-                 fused_admit: Optional[bool] = None):
+                 fused_admit: Optional[bool] = None,
+                 kv_int8: bool = False):
         from showo_tpu.models.phi import KVCache
         from showo_tpu.models.showo import showo_forward
         from showo_tpu.ops.masks import omni_mask_mmu
         from showo_tpu.sampling.ar import _sample_logits
+        from showo_tpu.serving.decode_chunk import (kv_cache_write,
+                                                    kv_cache_zeros)
 
         self.cfg, self.params = cfg, params
         dtype = params["showo"]["embed"].dtype
@@ -353,9 +356,21 @@ class ShowoMMUServer:
         H, Dh = cfg.llm.num_heads, cfg.llm.head_dim
         eoi = cfg.llm_vocab_size + 2          # [EOI] id in the unified vocab
 
+        # int8 KV cache (decode_chunk.py helpers): halves the cache's HBM
+        # stream during decode; requires the chunk-local decode paths
+        # (plain + speculative) — the fused-admission step writes bf16
+        # rows in-scan and stays unsupported
+        if kv_int8:
+            if fused_admit:
+                raise ValueError("kv_int8 requires fused_admit=False")
+            fused_admit = False
+            if speculative_k and not spec_chunk_local:
+                raise ValueError("kv_int8 requires spec_chunk_local=True")
+
         def init_cache():
             shape = (L, slots, cap, H, Dh)
-            return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+            return (kv_cache_zeros(shape, kv_int8, dtype),
+                    kv_cache_zeros(shape, kv_int8, dtype))
 
         # params ride as a jit ARGUMENT (bound at call time), never a
         # closure capture: closed-over weights would be baked into every
@@ -370,10 +385,8 @@ class ShowoMMUServer:
                 bias = jnp.where(cols < true_len, bias, NEG_INF)
                 logits, tc = showo_forward(cfg, params, input_ids=padded,
                                            attention_bias=bias, cache=tmp)
-                cache_k = jax.lax.dynamic_update_slice(
-                    cache_k, tc.k.astype(cache_k.dtype), (0, slot, 0, 0, 0))
-                cache_v = jax.lax.dynamic_update_slice(
-                    cache_v, tc.v.astype(cache_v.dtype), (0, slot, 0, 0, 0))
+                cache_k = kv_cache_write(cache_k, tc.k, (0, slot, 0, 0))
+                cache_v = kv_cache_write(cache_v, tc.v, (0, slot, 0, 0))
                 last = jax.lax.dynamic_index_in_dim(
                     logits[0], true_len - 1, axis=0, keepdims=False)
                 tok0 = _sample_logits(key, last[None], temperature, top_k,
@@ -478,10 +491,13 @@ class Showo2MMUServer:
                  eos_token: Optional[int] = None, lookahead: int = 4,
                  speculative_k: int = 0,
                  spec_chunk_local: bool = True,
-                 fused_admit: Optional[bool] = None):
+                 fused_admit: Optional[bool] = None,
+                 kv_int8: bool = False):
         from showo_tpu.sampling.ar import _sample_logits
         from showo_tpu.show_o2.masks import omni_attn_mask
         from showo_tpu.show_o2.qwen2 import Qwen2KVCache, qwen2_forward
+        from showo_tpu.serving.decode_chunk import (kv_cache_write,
+                                                    kv_cache_zeros)
 
         self.cfg, self.params = cfg, params
         llm = cfg.llm
@@ -489,9 +505,18 @@ class Showo2MMUServer:
         L, Hkv, Dh = llm.num_layers, llm.num_kv_heads, llm.head_dim
         n_img = cfg.num_image_tokens      # image span rows incl. time slot
 
+        # int8 KV cache — see the ShowoMMUServer comment
+        if kv_int8:
+            if fused_admit:
+                raise ValueError("kv_int8 requires fused_admit=False")
+            fused_admit = False
+            if speculative_k and not spec_chunk_local:
+                raise ValueError("kv_int8 requires spec_chunk_local=True")
+
         def init_cache():
             shape = (L, slots, cap, Hkv, Dh)
-            return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+            return (kv_cache_zeros(shape, kv_int8, dtype),
+                    kv_cache_zeros(shape, kv_int8, dtype))
 
         # params as jit argument, not closure capture (see ShowoMMUServer)
         def make_prefill(bucket: int):
@@ -507,10 +532,8 @@ class Showo2MMUServer:
                 logits, _, tc = qwen2_forward(
                     llm, params["showo"], input_embeds=padded_emb,
                     attention_bias=bias, cache=tmp)
-                cache_k = jax.lax.dynamic_update_slice(
-                    cache_k, tc.k.astype(cache_k.dtype), (0, slot, 0, 0, 0))
-                cache_v = jax.lax.dynamic_update_slice(
-                    cache_v, tc.v.astype(cache_v.dtype), (0, slot, 0, 0, 0))
+                cache_k = kv_cache_write(cache_k, tc.k, (0, slot, 0, 0))
+                cache_v = kv_cache_write(cache_v, tc.v, (0, slot, 0, 0))
                 last = jax.lax.dynamic_index_in_dim(
                     logits[0], true_len - 1, axis=0, keepdims=False)
                 tok0 = _sample_logits(key, last[None], temperature, top_k,

@@ -49,6 +49,7 @@ import jax
 import jax.numpy as jnp
 
 from showo_tpu.ops.masks import NEG_INF
+from showo_tpu.serving.decode_chunk import kv_cache_write
 
 
 def verify_greedy(key, logits, draft):
@@ -264,10 +265,8 @@ def build_v1_speculative(server, cfg, *, dtype, eoi, cap: int, chunk: int,
             bias = jnp.where(cols < true_len, bias, NEG_INF)
             logits, tc = showo_forward(cfg, params, input_ids=padded,
                                        attention_bias=bias, cache=tmp)
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, tc.k.astype(cache_k.dtype), (0, slot, 0, 0, 0))
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, tc.v.astype(cache_v.dtype), (0, slot, 0, 0, 0))
+            cache_k = kv_cache_write(cache_k, tc.k, (0, slot, 0, 0))
+            cache_v = kv_cache_write(cache_v, tc.v, (0, slot, 0, 0))
             last = jax.lax.dynamic_index_in_dim(
                 logits[0], true_len - 1, axis=0, keepdims=False)
             tok0 = _sample_logits(key, last[None], temperature, top_k,
@@ -350,10 +349,8 @@ def build_v2_speculative(server, cfg, *, dtype, n_img, cap: int, chunk: int,
             logits, _, tc = qwen2_forward(
                 llm, params["showo"], input_embeds=padded_emb,
                 attention_bias=bias, cache=tmp)
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, tc.k.astype(cache_k.dtype), (0, slot, 0, 0, 0))
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, tc.v.astype(cache_v.dtype), (0, slot, 0, 0, 0))
+            cache_k = kv_cache_write(cache_k, tc.k, (0, slot, 0, 0))
+            cache_v = kv_cache_write(cache_v, tc.v, (0, slot, 0, 0))
             last = jax.lax.dynamic_index_in_dim(
                 logits[0], true_len - 1, axis=0, keepdims=False)
             tok0 = _sample_logits(key, last[None], temperature, top_k,
