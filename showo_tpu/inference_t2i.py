@@ -138,8 +138,11 @@ def main() -> None:
     from showo_tpu.utils.image import image_transform, to_pil_images
 
     if mode == "t2i":
-        vp = config.get("validation_prompts_file",
-                        config.dataset.params.validation_prompts_file)
+        from showo_tpu.utils.assets import validation_prompts_file
+
+        vp = validation_prompts_file(
+            config.get("validation_prompts_file",
+                       config.dataset.params.validation_prompts_file))
         with open(vp) as f:
             prompts = f.read().splitlines()
         for step in range(0, len(prompts), batch_size):
@@ -154,10 +157,14 @@ def main() -> None:
     elif mode == "inpainting":
         from PIL import Image
 
-        img = image_transform(Image.open(config.image_path).convert("RGB"),
+        from showo_tpu.utils.assets import inpainting_pair
+
+        src_path, mask_path = inpainting_pair(
+            config.get("image_path"), config.get("inpainting_mask_path"))
+        img = image_transform(Image.open(src_path).convert("RGB"),
                               config.dataset.params.resolution)
         mask = image_transform(
-            Image.open(config.inpainting_mask_path).convert("L"),
+            Image.open(mask_path).convert("L"),
             config.dataset.params.resolution, normalize=False)[:, :, 0]
         images = pipe.inpaint(config.prompt, img, mask, key,
                               batch_size=batch_size)

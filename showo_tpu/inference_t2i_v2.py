@@ -147,7 +147,10 @@ def main() -> None:
         sampling_method=str(config.transport.get("sampling_method", "euler")),
     )
 
-    with open(config.validation_prompts_file) as f:
+    from showo_tpu.utils.assets import validation_prompts_file
+
+    with open(validation_prompts_file(
+            config.get("validation_prompts_file"))) as f:
         prompts = f.read().splitlines()
     batch_size = int(config.get("batch_size", 4))
     outdir = config.get("output_dir", "outputs_v2")

@@ -40,9 +40,11 @@ def test_magvit_roundtrip_psnr_real():
 
     path = _need("magvitv2")
     params = load_magvit_weights(path)
-    img_path = os.path.join("/root/reference", "mmu_validation", "dog.png")
-    if not os.path.exists(img_path):
-        pytest.skip("reference validation image unavailable")
+    from showo_tpu.utils.assets import validation_image
+
+    img_path = validation_image()
+    if img_path is None:
+        pytest.skip("no validation image available")
     img = Image.open(img_path).convert("RGB").resize((256, 256))
     x = jnp.asarray(np.asarray(img), jnp.float32) / 127.5 - 1.0
 

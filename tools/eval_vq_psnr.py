@@ -2,7 +2,10 @@
 mmu_validation/dog.png at 256^2.
 
     python tools/eval_vq_psnr.py [vq_model_path=<dir-or-file>] \
-        [image=/root/reference/mmu_validation/dog.png] [resolution=256]
+        [image=<path>] [resolution=256]
+
+Defaults to the in-tree assets/validation/test_image.png (falls back to
+the reference checkout's mmu_validation/dog.png if present).
 
 With a real checkpoint (showlab/magvitv2 weights imported via
 showo_tpu.utils.checkpoint.load_magvit_weights) this reproduces the
@@ -29,8 +32,11 @@ def main():
     args = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
     if args.get("platform"):  # e.g. platform=cpu for test runs
         jax.config.update("jax_platforms", args["platform"])
-    image_path = args.get(
-        "image", "/root/reference/mmu_validation/dog.png")
+    from showo_tpu.utils.assets import validation_image
+
+    image_path = validation_image(args.get("image"))
+    if image_path is None:
+        raise SystemExit("no validation image found (pass image=...)")
     res = int(args.get("resolution", 256))
 
     from PIL import Image
