@@ -404,18 +404,32 @@ def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
             [attn, jax.nn.gelu(mlp_pre, approximate=True)], axis=-1)
         return h + z @ _wk(lp["wout"]) + lp["wout"]["bias"], new_kv
 
+    from jax.ad_checkpoint import checkpoint_name
+
     if "qkv" in lp:
         # fused projection: one wide matmul keeps the MXU busy at small
         # token counts (numerically identical to three separate matmuls)
-        qkv = x @ _wk(lp["qkv"]) + lp["qkv"]["bias"]
+        qkv = checkpoint_name(x @ _wk(lp["qkv"]) + lp["qkv"]["bias"],
+                              "qkv_out")
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, S, H, Dh)
         k = k.reshape(B, S, H, Dh)
         v = v.reshape(B, S, H, Dh)
     else:
-        q = (x @ _wk(lp["q"]) + lp["q"]["bias"]).reshape(B, S, H, Dh)
-        k = (x @ _wk(lp["k"]) + lp["k"]["bias"]).reshape(B, S, H, Dh)
-        v = (x @ _wk(lp["v"]) + lp["v"]["bias"]).reshape(B, S, H, Dh)
+        # names for the intermediate remat policies (phi_forward):
+        # remat="qkv" saves ONLY these three projections per layer
+        # (~138 MB at the v1 recipe batch) and recomputes
+        # ln/fc1/dense/attention on backward — vs "full" (saves just
+        # layer inputs, recomputes all 4 matmuls) and "dots" (saves fc1
+        # too -> OOMs at the recipe batch).  Tagged in the FLAT [B,S,D]
+        # layout: the [B,S,H,Dh] head reshape pads Dh=64 up to the
+        # 128-lane tile (+32% HBM per saved tensor, measured OOM).
+        q = checkpoint_name(x @ _wk(lp["q"]) + lp["q"]["bias"], "qkv_out"
+                            ).reshape(B, S, H, Dh)
+        k = checkpoint_name(x @ _wk(lp["k"]) + lp["k"]["bias"], "qkv_out"
+                            ).reshape(B, S, H, Dh)
+        v = checkpoint_name(x @ _wk(lp["v"]) + lp["v"]["bias"], "qkv_out"
+                            ).reshape(B, S, H, Dh)
 
     q = layer_norm(q, lp["q_ln"]["scale"], lp["q_ln"]["bias"], cfg.layer_norm_eps)
     k = layer_norm(k, lp["k_ln"]["scale"], lp["k_ln"]["bias"], cfg.layer_norm_eps)
@@ -452,7 +466,8 @@ def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
     ).reshape(B, S, D)
     attn = attn @ _wk(lp["dense"]) + lp["dense"]["bias"]
 
-    mlp = jax.nn.gelu(x @ _wk(lp["fc1"]) + lp["fc1"]["bias"], approximate=True)
+    fc1 = checkpoint_name(x @ _wk(lp["fc1"]) + lp["fc1"]["bias"], "fc1_out")
+    mlp = jax.nn.gelu(fc1, approximate=True)
     mlp = mlp @ _wk(lp["fc2"]) + lp["fc2"]["bias"]
 
     return h + attn + mlp, new_kv
@@ -516,6 +531,19 @@ def phi_forward(
         layer_fn = jax.checkpoint(
             base_layer, static_argnums=(0,),
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    elif remat == "qkv":
+        # save only the q/k/v projections (~138 MB/layer at the recipe
+        # batch): backward recomputes ln + fc1 + dense + attention, NOT
+        # the qkv matmul — between "full" (all 4 matmuls recomputed) and
+        # "dots" (fc1 saved too, OOMs); see _layer's checkpoint_name tags
+        layer_fn = jax.checkpoint(
+            base_layer, static_argnums=(0,),
+            policy=jax.checkpoint_policies.save_only_these_names("qkv_out"))
+    elif remat == "qkv_fc1":
+        layer_fn = jax.checkpoint(
+            base_layer, static_argnums=(0,),
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "qkv_out", "fc1_out"))
     else:
         layer_fn = jax.checkpoint(base_layer, static_argnums=(0,))
 

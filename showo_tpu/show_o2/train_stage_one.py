@@ -52,6 +52,12 @@ class Stage1Config:
     # S x S scores in HBM; the lever for max_mixed_modal_seq_length=5120
     # and video training (showo2_1.5b_stage_1_a.yaml:66-75)
     attn_impl: str = "dense"
+    # "adamw" (reference parity, fp32-dtype moments follow the params'
+    # dtype) | "adamw_bf16" (bf16 moments: halves optimizer state) |
+    # "adafactor" (factored second moment, ~zero state: the TPU-native
+    # lever that fits 1.5B stage-1 training on ONE 16 GB chip, where
+    # bf16-AdamW state alone is 14.4 GB — see STATUS.md)
+    optimizer: str = "adamw"
 
 
 def make_stage1_optimizer(sc: Stage1Config, params,
@@ -60,9 +66,21 @@ def make_stage1_optimizer(sc: Stage1Config, params,
           if sc.warmup_steps > 0 else sc.learning_rate)
     from showo_tpu.training.train_step import with_grad_accum
 
+    if sc.optimizer == "adafactor":
+        # factored second moment, no first moment: optimizer state is
+        # ~2*D*sqrt-factors per matrix instead of 2 full copies — the
+        # difference between "infeasible by arithmetic" and training
+        # 1.5B stage-1 on one 16 GB v5e (bench.py metric=train_v2)
+        inner = optax.adafactor(lr, weight_decay_rate=sc.weight_decay,
+                                clipping_threshold=1.0)
+    elif sc.optimizer == "adamw_bf16":
+        inner = optax.adamw(lr, weight_decay=sc.weight_decay,
+                            mu_dtype=jnp.bfloat16)
+    else:
+        inner = optax.adamw(lr, weight_decay=sc.weight_decay)
     base = optax.chain(
         optax.clip_by_global_norm(sc.max_grad_norm),
-        optax.adamw(lr, weight_decay=sc.weight_decay),
+        inner,
     )
     if frozen_substrings:
         labels = jax.tree.map(lambda t: "train" if t else "freeze",
@@ -350,7 +368,8 @@ def main() -> None:
         und_max_t0=tr.get("und_max_t0", 1.0),
         warmup_steps=int(tr.get("warmup_steps", 0)),
         grad_accum_steps=int(tr.get("gradient_accumulation_steps", 1)),
-        attn_impl=str(tr.get("attn_impl", "dense")))
+        attn_impl=str(tr.get("attn_impl", "dense")),
+        optimizer=str(tr.get("optimizer", "adamw")))
 
     n_img = config.dataset.preprocessing.num_t2i_image_tokens \
         + (1 if cfg.add_time_embeds else 0)

@@ -217,6 +217,7 @@ class ShowoTrainer:
             grad_accum_steps=int(tr.get("gradient_accumulation_steps", 1)),
             attn_impl=str(tr.get("attn_impl", "dense")),
             remat=str(tr.get("remat", "full")),
+            optimizer=str(tr.get("optimizer", "adamw")),
         )
         from showo_tpu.training.lr_schedules import get_lr_schedule
 
@@ -595,9 +596,17 @@ def load_validation_prompts(config):
     """validation_prompts from config: inline list or a prompts file
     (train.py:672-683 config.dataset.params.validation_prompts_file)."""
     vp = config.dataset.params.get("validation_prompts_file")
-    if vp and os.path.exists(str(vp)):
-        with open(str(vp)) as f:
-            return [ln.strip() for ln in f if ln.strip()]
+    if vp:
+        if not os.path.exists(str(vp)):
+            # configured but absent (relative reference path): fall back
+            # to the in-tree assets/validation list so trainer validation
+            # hooks work without the reference checkout
+            from showo_tpu.utils.assets import validation_prompts_file
+
+            vp = validation_prompts_file(str(vp))
+        if vp:
+            with open(str(vp)) as f:
+                return [ln.strip() for ln in f if ln.strip()]
     inline = config.get("validation_prompts")
     return list(inline) if inline else None
 

@@ -42,8 +42,15 @@ class TrainConfig:
     #            memory, the r1/r2 default);
     #   "dots" — save matmul outputs, recompute norms/elementwise
     #            (jax.checkpoint_policies.dots_with_no_batch_dims_saveable);
+    #   "qkv" / "qkv_fc1" — save only the named projections
+    #            (models/phi.py checkpoint_name tags), recompute the rest
     #   "none" — no remat (fastest when activations fit HBM)
     remat: str = "full"
+    # "adamw" (reference parity) | "adamw_bf16" (bf16 first moment) |
+    # "adafactor" (factored second moment, ~zero state: frees the 5.2 GB
+    # AdamW moments on a 16 GB chip, buying room for the lighter remat
+    # policies above — the TPU throughput-mode recipe)
+    optimizer: str = "adamw"
 
 
 def with_grad_accum(optimizer: optax.GradientTransformation,
@@ -63,14 +70,21 @@ def make_optimizer(tc: TrainConfig, lr_schedule=None) -> optax.GradientTransform
     # showo_pretraining_stage2.yaml max_grad_norm: null)
     clip = ([optax.clip_by_global_norm(tc.max_grad_norm)]
             if tc.max_grad_norm else [])
-    return with_grad_accum(optax.chain(
-        *clip,
-        optax.adamw(
-            learning_rate=lr_schedule if lr_schedule is not None else tc.learning_rate,
-            b1=tc.adam_beta1, b2=tc.adam_beta2, eps=tc.adam_eps,
-            weight_decay=tc.weight_decay,
-        ),
-    ), tc.grad_accum_steps)
+    lr = lr_schedule if lr_schedule is not None else tc.learning_rate
+    opt_name = getattr(tc, "optimizer", "adamw")
+    if opt_name == "adafactor":
+        inner = optax.adafactor(lr, weight_decay_rate=tc.weight_decay,
+                                clipping_threshold=1.0)
+    elif opt_name == "adamw_bf16":
+        import jax.numpy as jnp
+
+        inner = optax.adamw(lr, b1=tc.adam_beta1, b2=tc.adam_beta2,
+                            eps=tc.adam_eps, weight_decay=tc.weight_decay,
+                            mu_dtype=jnp.bfloat16)
+    else:
+        inner = optax.adamw(lr, b1=tc.adam_beta1, b2=tc.adam_beta2,
+                            eps=tc.adam_eps, weight_decay=tc.weight_decay)
+    return with_grad_accum(optax.chain(*clip, inner), tc.grad_accum_steps)
 
 
 class TrainState(NamedTuple):

@@ -197,3 +197,46 @@ def test_und_flow_loss_zeroed_per_sample():
     imgs_gen[0] = -2.0 * imgs_gen[0] + 5.0
     f2, _ = flow_loss(imgs_gen)
     assert abs(f2 - f0) > 10 * abs(f1 - f0) and abs(f2 - f0) > 1e-4
+
+
+def test_stage1_trainer_adafactor_and_bf16_moments():
+    """optimizer=adafactor|adamw_bf16 step and learn at tiny dims — the
+    single-chip 1.5B memory levers (bench.py metric=train_v2): Adafactor
+    keeps a factored second moment (no [D, F] moment tensors), adamw_bf16
+    halves the first moment."""
+    batch = _batch()
+    for opt_name in ("adafactor", "adamw_bf16"):
+        params = init_showo2_params(TINY, jax.random.PRNGKey(0))
+        vae_params = init_wan_vae_params(VAE_TINY, jax.random.PRNGKey(1))
+        sc = Stage1Config(und_max_t0=0.9, optimizer=opt_name,
+                          learning_rate=1e-3)
+        trainer = Stage1Trainer(
+            cfg=TINY, vae_cfg=VAE_TINY, sc=sc, params=params,
+            vae_params=vae_params,
+            transport=Transport(snr_type="lognorm", do_shift=True,
+                                seq_len=N_IMG))
+        losses = [float(trainer.train_step(batch, jax.random.PRNGKey(i)
+                                           )["loss"]) for i in range(6)]
+        assert losses[-1] < losses[0], (opt_name, losses)
+        leaves = jax.tree.leaves(trainer.opt_state)
+        n_state = sum(x.size for x in leaves if hasattr(x, "size"))
+        n_params = sum(x.size for x in jax.tree.leaves(trainer.params))
+        if opt_name == "adafactor":
+            # no first moment: state is at most ~one (unfactored at tiny
+            # dims < min_dim_size_to_factor=128) second-moment copy, vs
+            # AdamW's two.  Factoring itself is asserted below.
+            assert n_state < 1.2 * n_params, (n_state, n_params)
+        else:
+            mu_dtypes = {str(x.dtype) for x in leaves
+                         if hasattr(x, "dtype") and x.ndim >= 2}
+            assert "bfloat16" in mu_dtypes, mu_dtypes
+
+    # adafactor factors the second moment above min_dim_size_to_factor:
+    # a [256, 512] param keeps 256+512 stats, not 256*512 — the memory
+    # claim the 1.5B single-chip config rests on
+    from showo_tpu.show_o2.train_stage_one import make_stage1_optimizer
+    big = {"w": jnp.zeros((256, 512), jnp.float32)}
+    sc_a = Stage1Config(optimizer="adafactor")
+    st = make_stage1_optimizer(sc_a, big).init(big)
+    n_big = sum(x.size for x in jax.tree.leaves(st) if hasattr(x, "size"))
+    assert n_big < 0.05 * 256 * 512, n_big
