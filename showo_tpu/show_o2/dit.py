@@ -205,19 +205,25 @@ def fuse_inference(params):
 
 def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
                modality_positions, attn_meta=None, attn_impl=None,
-               cache_kv=None, cache_offsets=None):
+               cache_kv=None, cache_offsets=None, ada=None):
     """One ModulatedAttentionBlock (modules.py:131-218).
 
     cache_kv: optional per-layer (ck, cv) [B, S_full, Hkv, Dh] K/V buffers
     holding the constant text rows (t2i cached-window inference); the
     fresh rows' K/V are scattered in at per-row ``cache_offsets`` and
     attention runs fresh-Q x full-K.  Returns (h_out, (k, v)) — the fresh
-    roped K/V, collected by dit_forward's prefill pass."""
+    roped K/V, collected by dit_forward's prefill pass.
+
+    ada: optional precomputed adaLN projection [B*M, 6D] for this layer
+    (dit_forward hoists all layers' projections into ONE pre-scan einsum
+    — 10 small-M bandwidth-bound matmuls inside the scan otherwise)."""
     B, S, D = h.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     L = S
 
-    ada = jax.nn.silu(adaln_input) @ lp["adaln"]["kernel"] + lp["adaln"]["bias"]
+    if ada is None:
+        ada = (jax.nn.silu(adaln_input) @ lp["adaln"]["kernel"]
+               + lp["adaln"]["bias"])
     (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp
      ), claimed = span_modulation(ada, modality_positions, L)
     # gate default is 1 outside spans (span_broadcast semantics)
@@ -343,23 +349,32 @@ def dit_forward(cfg: DiffusionHeadConfig, params, h, adaln_input,
     layer_fn = (jax.checkpoint(_dit_layer, static_argnums=(0, 9))
                 if remat else _dit_layer)
 
+    # hoist all layers' adaLN projections into ONE einsum (the per-layer
+    # [B*M, D] x [D, 6D] matmuls are tiny-M and bandwidth-bound; batching
+    # them streams the same 6*D*D*L weights as one contiguous matmul)
+    ada_all = (jnp.einsum("bd,ldk->lbk", jax.nn.silu(adaln_input),
+                          params["layers"]["adaln"]["kernel"])
+               + params["layers"]["adaln"]["bias"][:, None, :])
+
     if cache is not None:
         def body(h, xs):
-            lp, layer_kv = xs
+            lp, layer_kv, ada = xs
             h, kv = _dit_layer(cfg, lp, h, adaln_input, attention_bias,
                                cos, sin, modality_positions, attn_meta,
-                               attn_impl, layer_kv, cache_offsets)
+                               attn_impl, layer_kv, cache_offsets, ada)
             return h, kv if return_kv else None
 
-        h, kvs = jax.lax.scan(body, h, (params["layers"], cache),
+        h, kvs = jax.lax.scan(body, h, (params["layers"], cache, ada_all),
                               unroll=cfg.scan_unroll)
     else:
-        def body(h, lp):
+        def body(h, xs):
+            lp, ada = xs
             h, kv = layer_fn(cfg, lp, h, adaln_input, attention_bias, cos,
-                             sin, modality_positions, attn_meta, attn_impl)
+                             sin, modality_positions, attn_meta, attn_impl,
+                             None, None, ada)
             return h, kv if return_kv else None
 
-        h, kvs = jax.lax.scan(body, h, params["layers"],
+        h, kvs = jax.lax.scan(body, h, (params["layers"], ada_all),
                               unroll=cfg.scan_unroll)
     if return_kv:
         return h, kvs
