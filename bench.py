@@ -1,14 +1,23 @@
-"""Benchmark: Show-o 1.3B T2I 256^2 throughput (16-step MaskGIT + CFG).
+"""Benchmark suite for the showo_tpu framework (one chip).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline north star: 150 images/min/chip (BASELINE.md).
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Baseline north star: 150 images/min/chip at 256^2/16-step (BASELINE.md).
 
-Run on the real chip:  python bench.py  [batch=2] [timesteps=16]
-                       [mode=cached|plain] [attn=auto|dense|pallas|pallas_packed]
-                       [vq_tokens=256|1024]  (1024 = the 512px config)
-Secondary metrics:     python bench.py metric=mmu   (decode tok/s)
-                       python bench.py metric=vq    (VQ encode Mpix/s)
-                       python bench.py metric=train (fused-step samples/s)
+Default (no args) runs the FULL surface — v1 t2i 256+512, mmu decode
+bf16+int8, serving v1+v2 (speculative), v2 t2i euler+dpm, t2v, both
+train steps — and emits one JSON line whose headline value is the v1
+t2i 256^2 number with every sub-metric under "metrics" (so regressions
+in non-headline paths stay driver-visible; VERDICT r3 item 4).
+
+Single metrics:  python bench.py metric=t2i [batch=2] [timesteps=16]
+                     [mode=cached|plain] [attn=auto|dense|pallas_packed]
+                     [vq_tokens=256|1024]  (1024 = the 512px config)
+                 python bench.py metric=mmu|mmu_v2 [int8=1]  (decode tok/s)
+                 python bench.py metric=serve|serve_v2 [spec=2] [int8=1]
+                 python bench.py metric=t2i_v2 [sampler=dpm steps=20]
+                 python bench.py metric=t2v | vq
+                 python bench.py metric=train [remat=qkv] [opt=adafactor]
+                 python bench.py metric=train_v2 [opt=adafactor]
 """
 
 import json
@@ -19,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_mmu(args) -> None:
+def bench_mmu(args) -> dict:
     """AR decode tok/s with KV cache on the flagship model."""
     import numpy as np
 
@@ -73,12 +82,12 @@ def bench_mmu(args) -> None:
     np.asarray(out)
     dt = (time.perf_counter() - t0) / iters
     tok_s = B * max_new / dt
-    print(json.dumps({"metric": "mmu_decode_tok_per_s_kv_cache",
-                      "value": round(tok_s, 2), "unit": "tok/s",
-                      "vs_baseline": None}))
+    return {"metric": "mmu_decode_tok_per_s_kv_cache",
+            "value": round(tok_s, 2), "unit": "tok/s",
+            "vs_baseline": None}
 
 
-def bench_mmu_v2(args) -> None:
+def bench_mmu_v2(args) -> dict:
     """Show-o2 1.5B AR decode tok/s with KV cache (VERDICT r2 item 2:
     the v2 analog of metric=mmu).  Random image latents through the
     dual-path embedder, qwen chat scaffold, jitted prefill + decode scan."""
@@ -167,12 +176,12 @@ def bench_mmu_v2(args) -> None:
         out = gen(params, latents, pre, post, jax.random.PRNGKey(5 + i))
     np.asarray(out)
     dt = (time.perf_counter() - t0) / iters
-    print(json.dumps({"metric": "showo2_mmu_decode_tok_per_s_kv_cache",
-                      "value": round(B * max_new / dt, 2), "unit": "tok/s",
-                      "vs_baseline": None}))
+    return {"metric": "showo2_mmu_decode_tok_per_s_kv_cache",
+            "value": round(B * max_new / dt, 2), "unit": "tok/s",
+            "vs_baseline": None}
 
 
-def bench_vq(args) -> None:
+def bench_vq(args) -> dict:
     """MAGVIT-v2 VQ encode (or mode=decode) megapixels/s."""
     import numpy as np
 
@@ -210,12 +219,12 @@ def bench_vq(args) -> None:
     np.asarray(out).ravel()[:1]
     dt = (time.perf_counter() - t0) / iters
     mpix_s = B * res * res / dt / 1e6
-    print(json.dumps({"metric": f"vq_{mode}_mpix_per_s_{res}px",
-                      "value": round(mpix_s, 2), "unit": "Mpix/s",
-                      "vs_baseline": None}))
+    return {"metric": f"vq_{mode}_mpix_per_s_{res}px",
+            "value": round(mpix_s, 2), "unit": "Mpix/s",
+            "vs_baseline": None}
 
 
-def bench_t2i_v2(args) -> None:
+def bench_t2i_v2(args) -> dict:
     """Show-o2 1.5B flow-matching T2I throughput (euler + CFG)."""
     import numpy as np
 
@@ -262,13 +271,13 @@ def bench_t2i_v2(args) -> None:
     dt = (time.perf_counter() - t0) / iters
     tag = "" if args.get("sampler", "euler") == "euler" \
         else f"_{args['sampler']}"
-    print(json.dumps({
+    return {
         "metric": f"showo2_t2i_images_per_min_per_chip_432px_{steps}steps{tag}",
         "value": round(B * 60.0 / dt, 2), "unit": "images/min/chip",
-        "vs_baseline": None}))
+        "vs_baseline": None}
 
 
-def bench_t2v(args) -> None:
+def bench_t2v(args) -> dict:
     """Show-o2 1.5B text-to-video throughput (joint video latents)."""
     import numpy as np
 
@@ -306,13 +315,13 @@ def bench_t2v(args) -> None:
         out = pipe.generate(prompts, jax.random.PRNGKey(3 + i))
     np.asarray(out[:, :1, :2, :2])
     dt = (time.perf_counter() - t0) / iters
-    print(json.dumps({
+    return {
         "metric": f"showo2_t2v_frames_per_min_per_chip_432px_{steps}steps",
         "value": round(B * pix_frames * 60.0 / dt, 2),
-        "unit": "frames/min/chip", "vs_baseline": None}))
+        "unit": "frames/min/chip", "vs_baseline": None}
 
 
-def bench_train(args) -> None:
+def bench_train(args) -> dict:
     """v1 fused train-step throughput (samples/sec/chip) at the reference
     per-GPU stage-1 recipe batch 15 t2i + 4 lm + 10 mmu
     (configs/showo_pretraining_stage1.yaml:83-103; the reference logs the
@@ -337,7 +346,8 @@ def bench_train(args) -> None:
     vq_cfg = VQConfig()
     tc = TrainConfig(max_seq_length=128,
                      attn_impl=args.get("attn_impl", "dense"),
-                     remat=args.get("remat", "full"))
+                     remat=args.get("remat", "full"),
+                     optimizer=args.get("opt", "adamw"))
     sp = {"<|pad|>": 50295, "<|soi|>": 50296, "<|eoi|>": 50297,
           "<|mmu|>": 50300}
     opt = make_optimizer(tc)
@@ -396,16 +406,105 @@ def bench_train(args) -> None:
     tokens = n * S_tok
     tflops_step = 6 * matmul_params * tokens / 1e12
     pct = tflops_step / dt / 277.0 * 100
-    print(json.dumps({
+    return {
         "metric": f"train_samples_per_sec_per_chip_{res}px",
         "value": round(n / dt, 2), "unit": "samples/s/chip",
         "vs_baseline": None,
         "model_tflops_per_s": round(tflops_step / dt, 1),
         "pct_of_277tflops_ceiling": round(pct, 1),
-        "attn_impl": tc.attn_impl, "remat": tc.remat}))
+        "attn_impl": tc.attn_impl, "remat": tc.remat,
+        "optimizer": tc.optimizer}
 
 
-def bench_serve(args) -> None:
+def bench_train_v2(args) -> dict:
+    """Show-o2 1.5B stage-1 fused train step on ONE chip (samples/s/chip).
+
+    bf16-AdamW state alone is 14.4 GB for the 2.4B-param model, so the
+    single-chip config uses Adafactor (factored second moment, ~zero
+    optimizer state) + full-layer remat — the reference has no 1-chip
+    story at all (8x80 GB GPUs, show-o2/train_stage_one.py).  Frozen
+    Wan-VAE encode + NTP+flow fwd/bwd + update, one jitted program.
+
+    knobs: batch= (default 2), seq= (default 1024), opt= (adafactor |
+    adamw | adamw_bf16), res= (432)."""
+    import numpy as np
+
+    from showo_tpu.show_o2.showo2 import Showo2Config, init_showo2_params
+    from showo_tpu.show_o2.train_stage_one import (Stage1Config,
+                                                   make_stage1_optimizer,
+                                                   make_stage1_step)
+    from showo_tpu.show_o2.transport import Transport
+    from showo_tpu.show_o2.wan_vae import WanVAEConfig, init_wan_vae_params
+
+    B = int(args.get("batch", 2))
+    L = int(args.get("seq", 1024))
+    res = int(args.get("res", 432))
+    opt_name = args.get("opt", "adafactor")
+
+    cfg = Showo2Config()
+    vae_cfg = WanVAEConfig()
+    sc = Stage1Config(optimizer=opt_name,
+                      attn_impl=args.get("attn_impl", "dense"))
+    params = jax.jit(lambda k: init_showo2_params(cfg, k, jnp.bfloat16))(
+        jax.random.PRNGKey(0))
+    vae_params = jax.jit(lambda k: init_wan_vae_params(
+        vae_cfg, k, jnp.bfloat16))(jax.random.PRNGKey(1))
+    opt = make_stage1_optimizer(sc, params)
+    opt_state = jax.jit(opt.init)(params)
+    transport = Transport(snr_type="lognorm", do_shift=True,
+                          seq_len=cfg.num_image_tokens)
+    step = jax.jit(make_stage1_step(cfg, vae_cfg, sc, transport, opt),
+                   donate_argnums=(0, 1))
+    rng = np.random.default_rng(0)
+    n_img = cfg.num_image_tokens
+    off = L - n_img - 2
+    batch = {
+        "text_tokens": jnp.asarray(
+            rng.integers(2, 150000, size=(B, L)), jnp.int32),
+        "text_labels": jnp.asarray(
+            rng.integers(2, 150000, size=(B, L)), jnp.int32),
+        "modality_positions": jnp.tile(
+            jnp.array([[[off, n_img]]], jnp.int32), (B, 1, 1)),
+        "text_masks": jnp.ones((B, L), jnp.int32),
+        "image_masks": (jnp.arange(L)[None] >= off).astype(jnp.int32)
+        * (jnp.arange(L)[None] < off + n_img).astype(jnp.int32)
+        * jnp.ones((B, 1), jnp.int32),
+        "images": jnp.asarray(rng.normal(size=(B, res, res, 3)),
+                              jnp.float32),
+        "is_und": jnp.zeros((B,), jnp.int32),
+    }
+    params, opt_state, m = step(params, opt_state, vae_params, batch,
+                                jax.random.PRNGKey(2))
+    float(m["loss"])
+    iters = int(args.get("iters", 5))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, m = step(params, opt_state, vae_params, batch,
+                                    jax.random.PRNGKey(3 + i))
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    # fwd+bwd+remat-fwd = 8x matmul-params x tokens (full-layer remat)
+    qc, dc = cfg.llm, cfg.diffusion_head
+    D, F, Lyr = qc.hidden_size, qc.intermediate_size, qc.num_layers
+    Hd = qc.num_heads * qc.head_dim
+    Kvd = qc.num_kv_heads * qc.head_dim
+    qwen_p = Lyr * (D * Hd + 2 * D * Kvd + Hd * D + 3 * D * F) \
+        + D * cfg.vocab_size
+    dD, dF = dc.hidden_size, dc.intermediate_size
+    dHd, dKvd = dc.num_heads * dc.head_dim, dc.num_kv_heads * dc.head_dim
+    dit_p = dc.num_layers * (dD * dHd + 2 * dD * dKvd + dHd * dD
+                             + 3 * dD * dF + 7 * dD * dD)
+    tflops_step = 8 * (qwen_p + dit_p) * B * L / 1e12
+    return {
+        "metric": "train_v2_stage1_samples_per_sec_per_chip",
+        "value": round(B / dt, 3), "unit": "samples/s/chip",
+        "vs_baseline": None,
+        "model_tflops_per_s": round(tflops_step / dt, 1),
+        "pct_of_277tflops_ceiling": round(tflops_step / dt / 2.77, 1),
+        "optimizer": opt_name, "batch": B, "seq": L}
+
+
+def bench_serve(args) -> dict:
     """Continuous-batching MMU serving throughput (showo_tpu/serving).
 
     A workload of requests with heterogeneous prompt lengths and decode
@@ -457,7 +556,8 @@ def bench_serve(args) -> None:
     server = ShowoMMUServer(cfg, params, slots=slots, cap=cap, chunk=chunk,
                             buckets=(320, 384, 448), temperature=1.0,
                             top_k=1, speculative_k=spec,
-                            fused_admit=fused_admit)
+                            fused_admit=fused_admit,
+                            kv_int8=args.get("kv_int8", "0") != "0")
     # warm up every compiled program off the clock: per bucket, the plain
     # prefill (admission from idle) AND the fused-admit step (admission
     # while another lane decodes), plus the decode chunk
@@ -519,10 +619,10 @@ def bench_serve(args) -> None:
         steps = max(1, server.engine.stat_steps)
         out["speculative_k"] = spec
         out["tokens_per_lane_step"] = round(total_tokens / (steps * slots), 3)
-    print(json.dumps(out))
+    return out
 
 
-def bench_serve_v2(args) -> None:
+def bench_serve_v2(args) -> dict:
     """Show-o2 continuous-batching MMU serving (Showo2MMUServer).
 
     Requests are pre-assembled embedding prompts (text + time + image
@@ -588,7 +688,8 @@ def bench_serve_v2(args) -> None:
 
     server = Showo2MMUServer(cfg, params, slots=slots, cap=cap, chunk=chunk,
                              buckets=buckets, temperature=1.0, top_k=1,
-                             speculative_k=spec)
+                             speculative_k=spec,
+                             kv_int8=args.get("kv_int8", "0") != "0")
 
     def submit(emb, start, budget, ids):
         if spec:
@@ -626,27 +727,11 @@ def bench_serve_v2(args) -> None:
         steps = max(1, server.engine.stat_steps)
         out["speculative_k"] = spec
         out["tokens_per_lane_step"] = round(total_tokens / (steps * slots), 3)
-    print(json.dumps(out))
+    return out
 
 
-def main() -> None:
-    args = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
-    if args.get("metric") == "serve":
-        return bench_serve(args)
-    if args.get("metric") == "serve_v2":
-        return bench_serve_v2(args)
-    if args.get("metric") == "train":
-        return bench_train(args)
-    if args.get("metric") == "mmu_v2":
-        return bench_mmu_v2(args)
-    if args.get("metric") == "mmu":
-        return bench_mmu(args)
-    if args.get("metric") == "vq":
-        return bench_vq(args)
-    if args.get("metric") == "t2i_v2":
-        return bench_t2i_v2(args)
-    if args.get("metric") == "t2v":
-        return bench_t2v(args)
+def bench_t2i(args) -> dict:
+    """v1 T2I throughput (16-step MaskGIT + CFG), the headline metric."""
     batch = int(args.get("batch", 2))
     timesteps = int(args.get("timesteps", 16))
     attn_impl = args.get("attn", "auto")
@@ -742,12 +827,76 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / n_iters
 
     imgs_per_min = batch * 60.0 / dt
-    print(json.dumps({
+    return {
         "metric": f"t2i_images_per_min_per_chip_{res_px}px_{timesteps}steps",
         "value": round(imgs_per_min, 2),
         "unit": "images/min/chip",
         "vs_baseline": round(imgs_per_min / 150.0, 3),
-    }))
+    }
+
+
+BENCHES = {
+    "t2i": bench_t2i, "mmu": bench_mmu, "mmu_v2": bench_mmu_v2,
+    "vq": bench_vq, "t2i_v2": bench_t2i_v2, "t2v": bench_t2v,
+    "train": bench_train, "train_v2": bench_train_v2,
+    "serve": bench_serve, "serve_v2": bench_serve_v2,
+}
+
+# the full perf surface, best-known config per row (VERDICT r3 item 4:
+# one driver-visible JSON block so non-headline regressions surface).
+# Rows run in one process; each entry is (name, metric, extra args).
+SUITE = [
+    ("t2i_256", "t2i", {}),
+    ("t2i_512", "t2i", {"vq_tokens": "1024"}),
+    ("mmu_bf16", "mmu", {}),
+    ("mmu_int8", "mmu", {"int8": "1"}),
+    ("mmu_v2_int8", "mmu_v2", {"int8": "1"}),
+    ("serve_v1_spec2_int8", "serve", {"spec": "2", "int8": "1"}),
+    ("serve_v2_spec2_int8", "serve_v2",
+     {"spec": "2", "int8": "1", "slots": "8"}),
+    ("t2i_v2_euler50", "t2i_v2", {}),
+    ("t2i_v2_dpm20", "t2i_v2", {"sampler": "dpm", "steps": "20"}),
+    ("t2v", "t2v", {}),
+    ("train_v1", "train", {"remat": "qkv", "opt": "adafactor"}),
+    ("train_v2", "train_v2", {}),
+]
+
+
+def bench_suite(args) -> dict:
+    """Run the whole surface; headline = v1 t2i 256^2 (vs the 150
+    img/min north star), everything else under "metrics"."""
+    import traceback
+
+    metrics = {}
+    for name, metric, extra in SUITE:
+        sub = dict(args)
+        sub.pop("metric", None)
+        sub.update(extra)
+        t0 = time.perf_counter()
+        try:
+            metrics[name] = BENCHES[metric](sub)
+            metrics[name]["wall_s"] = round(time.perf_counter() - t0, 1)
+        except Exception as e:                      # record, keep going
+            traceback.print_exc(file=sys.stderr)
+            metrics[name] = {"error": f"{type(e).__name__}: {e}"}
+        print(f"[suite] {name}: "
+              + json.dumps(metrics[name].get("value",
+                                             metrics[name].get("error"))),
+              file=sys.stderr, flush=True)
+    head = metrics.get("t2i_256", {})
+    return {
+        "metric": "suite_headline_t2i_images_per_min_per_chip_256px_16steps",
+        "value": head.get("value"), "unit": "images/min/chip",
+        "vs_baseline": head.get("vs_baseline"),
+        "metrics": metrics,
+    }
+
+
+def main() -> None:
+    args = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+    metric = args.get("metric", "suite")
+    fn = bench_suite if metric == "suite" else BENCHES[metric]
+    print(json.dumps(fn(args)))
 
 
 if __name__ == "__main__":
