@@ -105,8 +105,10 @@ def load_tokenizer(config):
         return FakeTokenizer()
 
 
-def main() -> None:
-    config = get_config()
+def build_pipeline(config) -> T2IPipeline:
+    """Config -> ready T2IPipeline (weights imported or random-init).
+
+    Shared by this CLI and evaluation.run_quality."""
     cfg = build_showo_config(config)
     params = load_params(config, cfg)
     vq_cfg, vq_params = load_vq(config)
@@ -115,7 +117,7 @@ def main() -> None:
         tokenizer, max_text_len=config.dataset.preprocessing.max_seq_length,
         cond_dropout_prob=config.training.cond_dropout_prob)
 
-    pipe = T2IPipeline(
+    return T2IPipeline(
         cfg=cfg, params=params, vq_cfg=vq_cfg, vq_params=vq_params,
         uni_prompting=uni,
         guidance_scale=float(config.get("guidance_scale",
@@ -126,6 +128,11 @@ def main() -> None:
         max_seq_length=config.dataset.preprocessing.max_seq_length,
         resolution=config.dataset.params.resolution,
     )
+
+
+def main() -> None:
+    config = get_config()
+    pipe = build_pipeline(config)
     batch_size = int(config.get("batch_size", 4))
     mode = config.get("mode", "t2i")
     key = jax.random.PRNGKey(int(config.get("seed", 0)))

@@ -108,8 +108,10 @@ def load_tokenizer_and_ids(config):
         return Tok(), ids
 
 
-def main() -> None:
-    config = get_config()
+def build_pipeline(config) -> "T2IV2Pipeline":
+    """Config -> ready T2IV2Pipeline (weights imported or random-init).
+
+    Shared by this CLI and evaluation.run_quality."""
     cfg = build_showo2_config(config)
     tokenizer, token_ids = load_tokenizer_and_ids(config)
 
@@ -146,6 +148,12 @@ def main() -> None:
         max_text_len=int(config.dataset.preprocessing.get("max_text_len", 256)),
         sampling_method=str(config.transport.get("sampling_method", "euler")),
     )
+    return pipe
+
+
+def main() -> None:
+    config = get_config()
+    pipe = build_pipeline(config)
 
     from showo_tpu.utils.assets import validation_prompts_file
 

@@ -47,3 +47,18 @@ EOF
 fi
 
 SHOWO_WEIGHTS_DIR="$W" python -m pytest tests/test_real_weights_e2e.py -v -rs
+
+# -- quality evals (VERDICT r3 item 5) --------------------------------
+# GenEval sweep + DPG sweep/scoring + FID in one chain; steps whose
+# inputs (geneval metadata jsonl, DPG prompt dir + csv, FID reference
+# image dir) are not provided are skipped with a reason in
+# quality_out/quality_summary.json.  Provide them via env:
+#   GENEVAL_METADATA, DPG_PROMPTS_DIR, DPG_CSV, FID_REF_DIR
+python -m showo_tpu.evaluation.run_quality config=configs/showo_demo.yaml \
+    pipeline=v1 output_dir="${QUALITY_OUT:-quality_out}" \
+    model.showo.pretrained_model_path="$W/show-o" \
+    model.vq_model.vq_model_name="$W/magvitv2" \
+    geneval_metadata="${GENEVAL_METADATA:-}" \
+    dpg_prompts_dir="${DPG_PROMPTS_DIR:-}" \
+    dpg_csv="${DPG_CSV:-}" \
+    fid_ref_dir="${FID_REF_DIR:-}"
