@@ -425,8 +425,9 @@ def bench_train_v2(args) -> dict:
     story at all (8x80 GB GPUs, show-o2/train_stage_one.py).  Frozen
     Wan-VAE encode + NTP+flow fwd/bwd + update, one jitted program.
 
-    knobs: batch= (default 2), seq= (default 1024), opt= (adafactor |
-    adamw | adamw_bf16), res= (432)."""
+    knobs: batch= (default 1 — batch 2 needs ~16.5 GB, just over the
+    16 GB chip), seq= (default 1024), opt= (adafactor | adamw |
+    adamw_bf16), res= (432)."""
     import numpy as np
 
     from showo_tpu.show_o2.showo2 import Showo2Config, init_showo2_params
@@ -436,7 +437,7 @@ def bench_train_v2(args) -> dict:
     from showo_tpu.show_o2.transport import Transport
     from showo_tpu.show_o2.wan_vae import WanVAEConfig, init_wan_vae_params
 
-    B = int(args.get("batch", 2))
+    B = int(args.get("batch", 1))
     L = int(args.get("seq", 1024))
     res = int(args.get("res", 432))
     opt_name = args.get("opt", "adafactor")
@@ -484,12 +485,12 @@ def bench_train_v2(args) -> dict:
     float(m["loss"])
     dt = (time.perf_counter() - t0) / iters
     # fwd+bwd+remat-fwd = 8x matmul-params x tokens (full-layer remat)
-    qc, dc = cfg.llm, cfg.diffusion_head
+    qc, dc = cfg.llm, cfg.dit
     D, F, Lyr = qc.hidden_size, qc.intermediate_size, qc.num_layers
     Hd = qc.num_heads * qc.head_dim
     Kvd = qc.num_kv_heads * qc.head_dim
     qwen_p = Lyr * (D * Hd + 2 * D * Kvd + Hd * D + 3 * D * F) \
-        + D * cfg.vocab_size
+        + D * qc.vocab_size
     dD, dF = dc.hidden_size, dc.intermediate_size
     dHd, dKvd = dc.num_heads * dc.head_dim, dc.num_kv_heads * dc.head_dim
     dit_p = dc.num_layers * (dD * dHd + 2 * dD * dKvd + dHd * dD
@@ -554,8 +555,13 @@ def bench_serve(args) -> dict:
     if args.get("fused_admit") is not None:
         fused_admit = args.get("fused_admit") != "0"
     server = ShowoMMUServer(cfg, params, slots=slots, cap=cap, chunk=chunk,
-                            buckets=(320, 384, 448), temperature=1.0,
-                            top_k=1, speculative_k=spec,
+                            buckets=(320, 384, 448),
+                            temperature=float(args.get("temperature", 1.0)),
+                            top_k=(None if args.get("top_k") == "none"
+                                   else int(args.get("top_k", 1))),
+                            top_p=(float(args["top_p"])
+                                   if "top_p" in args else None),
+                            speculative_k=spec,
                             fused_admit=fused_admit,
                             kv_int8=args.get("kv_int8", "0") != "0")
     # warm up every compiled program off the clock: per bucket, the plain
@@ -687,7 +693,12 @@ def bench_serve_v2(args) -> dict:
     total_tokens = sum(b for _, _, b, _ in reqs)
 
     server = Showo2MMUServer(cfg, params, slots=slots, cap=cap, chunk=chunk,
-                             buckets=buckets, temperature=1.0, top_k=1,
+                             buckets=buckets,
+                             temperature=float(args.get("temperature", 1.0)),
+                             top_k=(None if args.get("top_k") == "none"
+                                    else int(args.get("top_k", 1))),
+                             top_p=(float(args["top_p"])
+                                    if "top_p" in args else None),
                              speculative_k=spec,
                              kv_int8=args.get("kv_int8", "0") != "0")
 

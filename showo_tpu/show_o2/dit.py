@@ -94,21 +94,32 @@ def span_broadcast(values: jnp.ndarray, modality_positions: jnp.ndarray,
 
 
 def span_modulation(ada: jnp.ndarray, modality_positions: jnp.ndarray,
-                    L: int, n_chunks: int = 6):
+                    L: int, n_chunks: int = 6, full_span: bool = False):
     """All adaLN modulation tensors in ONE one-hot einsum.
 
     ``ada`` is [B*M, n*D] (the per-span adaLN projection output); returns
     n tensors [B, L, D] where positions inside span j of row i get
     ada[i*M+j]'s chunk and everything else 0 (callers add the gate
-    default themselves via the also-returned ``claimed`` [B, L] mask).
+    default themselves via the also-returned ``claimed`` [B, L] mask;
+    ``claimed is None`` means every position is claimed).
 
     Numerically identical to n row-gather ``span_broadcast`` calls for
     non-overlapping spans (the one-hot matmul has exactly one 1 per
     row), but runs on the MXU instead of TPU gather hardware — gathers
     of [B, L, D] rows measured as the dominant DiT-head overhead
-    (tools/probe_dit_breakdown.py)."""
+    (tools/probe_dit_breakdown.py).
+
+    full_span=True is the static fast path for callers that KNOW the
+    single span covers every row (the cached-window t2i path forwards
+    only image-span rows, mp=(0, n)): the [B, L, n*D] materialization
+    collapses to [B, 1, D] broadcasts — bit-identical, since the
+    one-hot matmul with M=1 and all rows in-span just copies ada."""
     BM, DN = ada.shape
     B, M = modality_positions.shape[:2]
+    if full_span:
+        assert M == 1, "full_span fast path requires a single span"
+        chunks = jnp.split(ada.reshape(B, 1, DN), n_chunks, axis=-1)
+        return chunks, None
     pos = jnp.arange(L)
     off = modality_positions[..., 0]                    # [B, M]
     length = modality_positions[..., 1]
@@ -205,7 +216,8 @@ def fuse_inference(params):
 
 def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
                modality_positions, attn_meta=None, attn_impl=None,
-               cache_kv=None, cache_offsets=None, ada=None):
+               cache_kv=None, cache_offsets=None, ada=None,
+               full_span: bool = False):
     """One ModulatedAttentionBlock (modules.py:131-218).
 
     cache_kv: optional per-layer (ck, cv) [B, S_full, Hkv, Dh] K/V buffers
@@ -225,11 +237,13 @@ def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
         ada = (jax.nn.silu(adaln_input) @ lp["adaln"]["kernel"]
                + lp["adaln"]["bias"])
     (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp
-     ), claimed = span_modulation(ada, modality_positions, L)
-    # gate default is 1 outside spans (span_broadcast semantics)
-    out_of_span = (~claimed)[..., None].astype(gate_msa.dtype)
-    gate_msa = gate_msa + out_of_span
-    gate_mlp = gate_mlp + out_of_span
+     ), claimed = span_modulation(ada, modality_positions, L,
+                                  full_span=full_span)
+    if claimed is not None:
+        # gate default is 1 outside spans (span_broadcast semantics)
+        out_of_span = (~claimed)[..., None].astype(gate_msa.dtype)
+        gate_msa = gate_msa + out_of_span
+        gate_mlp = gate_mlp + out_of_span
 
     x = modulate(rms_norm(h, lp["input_ln"]["scale"], cfg.rms_norm_eps),
                  shift_msa, scale_msa)
@@ -330,7 +344,8 @@ def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
 def dit_forward(cfg: DiffusionHeadConfig, params, h, adaln_input,
                 attention_bias, modality_positions, remat: bool = False,
                 attn_meta=None, positions=None, cache=None,
-                cache_offsets=None, return_kv: bool = False):
+                cache_offsets=None, return_kv: bool = False,
+                full_span: bool = False):
     """Stack of ModulatedAttentionBlocks as a scan.
 
     positions: optional [B, S] or [1, S] absolute rope positions (defaults
@@ -346,7 +361,7 @@ def dit_forward(cfg: DiffusionHeadConfig, params, h, adaln_input,
     attn_impl = None
     if attn_meta is not None and isinstance(attn_meta[0], str):
         attn_impl, attn_meta = attn_meta[0], attn_meta[1:]
-    layer_fn = (jax.checkpoint(_dit_layer, static_argnums=(0, 9))
+    layer_fn = (jax.checkpoint(_dit_layer, static_argnums=(0, 9, 13))
                 if remat else _dit_layer)
 
     # hoist all layers' adaLN projections into ONE einsum (the per-layer
@@ -361,7 +376,8 @@ def dit_forward(cfg: DiffusionHeadConfig, params, h, adaln_input,
             lp, layer_kv, ada = xs
             h, kv = _dit_layer(cfg, lp, h, adaln_input, attention_bias,
                                cos, sin, modality_positions, attn_meta,
-                               attn_impl, layer_kv, cache_offsets, ada)
+                               attn_impl, layer_kv, cache_offsets, ada,
+                               full_span)
             return h, kv if return_kv else None
 
         h, kvs = jax.lax.scan(body, h, (params["layers"], cache, ada_all),
@@ -371,7 +387,7 @@ def dit_forward(cfg: DiffusionHeadConfig, params, h, adaln_input,
             lp, ada = xs
             h, kv = layer_fn(cfg, lp, h, adaln_input, attention_bias, cos,
                              sin, modality_positions, attn_meta, attn_impl,
-                             None, None, ada)
+                             None, None, ada, full_span)
             return h, kv if return_kv else None
 
         h, kvs = jax.lax.scan(body, h, (params["layers"], ada_all),
@@ -394,11 +410,11 @@ def init_final_layer_params(hidden: int, patch_size: int, out_channels: int,
 
 
 def final_layer_apply(p, x, adaln_input, modality_positions,
-                      rms_eps: float = 1e-6):
+                      rms_eps: float = 1e-6, full_span: bool = False):
     """FinalLayer (modules.py:787-806)."""
     L = x.shape[1]
     ada = jax.nn.silu(adaln_input) @ p["adaln"]["kernel"] + p["adaln"]["bias"]
     (shift, scale), _ = span_modulation(ada, modality_positions, L,
-                                        n_chunks=2)
+                                        n_chunks=2, full_span=full_span)
     x = modulate(rms_norm(x, p["norm"]["scale"], rms_eps), shift, scale)
     return x @ p["linear"]["kernel"] + p["linear"]["bias"]

@@ -434,11 +434,14 @@ def showo2_t2i_velocity_cached(
         h = h @ dp["fc2"]["kernel"] + dp["fc2"]["bias"]
     mp_fresh = jnp.broadcast_to(
         jnp.asarray([[0, n]], jnp.int32)[None], (B, 1, 2))
+    # mp_fresh covers every window row -> the adaLN span machinery
+    # collapses to [B, 1, D] broadcasts (span_modulation full_span)
     h = dit_forward(cfg.dit, params["diffusion_head_a"], h, time_embeds,
                     bias_fresh, mp_fresh, attn_meta=_dit_meta(attn_meta),
-                    positions=pos_ids, cache=dit_kv, cache_offsets=offsets)
+                    positions=pos_ids, cache=dit_kv, cache_offsets=offsets,
+                    full_span=True)
     v_seq = final_layer_apply(params["diffusion_head_b"], h, time_embeds,
-                              mp_fresh)
+                              mp_fresh, full_span=True)
     h_ = cfg.image_latent_height // cfg.patch_size
     w_ = cfg.image_latent_width // cfg.patch_size
     v = extract_v(cfg, v_seq, mp_fresh, h_, w_)

@@ -116,3 +116,38 @@ def test_dit_packed_kernel_routing_parity(golden):
                                         prefix))
     np.testing.assert_allclose(np.asarray(packed), np.asarray(dense),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_full_span_fast_path_exact():
+    """span_modulation(full_span=True) must be bit-identical to the
+    one-hot einsum when the single span covers every row — the static
+    fast path the cached-window t2i velocity uses (mp_fresh = (0, n))."""
+    from showo_tpu.show_o2.dit import init_dit_params, init_final_layer_params
+
+    B, L = 2, 24
+    key = jax.random.PRNGKey(0)
+    params = init_dit_params(TINY, key, jnp.bfloat16)
+    h = jax.random.normal(key, (B, L, TINY.hidden_size), jnp.bfloat16)
+    # non-zero adaln kernels so modulation actually does something
+    params["layers"]["adaln"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(1),
+        params["layers"]["adaln"]["kernel"].shape) .astype(jnp.bfloat16) * 0.1
+    ada_in = jax.random.normal(jax.random.PRNGKey(2),
+                               (B, TINY.hidden_size), jnp.bfloat16)
+    mp = jnp.tile(jnp.array([[[0, L]]], jnp.int32), (B, 1, 1))
+
+    slow = dit_forward(TINY, params, h, ada_in, None, mp)
+    fast = dit_forward(TINY, params, h, ada_in, None, mp, full_span=True)
+    np.testing.assert_array_equal(np.asarray(slow), np.asarray(fast))
+
+    fp = init_final_layer_params(TINY.hidden_size, 2, 3, jax.random.PRNGKey(3),
+                                 jnp.bfloat16)
+    fp["adaln"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(4), fp["adaln"]["kernel"].shape
+    ).astype(jnp.bfloat16) * 0.1
+    fp["linear"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(5), fp["linear"]["kernel"].shape
+    ).astype(jnp.bfloat16) * 0.1
+    s = final_layer_apply(fp, h, ada_in, mp)
+    f = final_layer_apply(fp, h, ada_in, mp, full_span=True)
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(f))
