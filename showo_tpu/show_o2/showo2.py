@@ -122,7 +122,8 @@ def _rms_norm_affine(x, scale, eps=1e-6):
     return (scale * (x32 * jax.lax.rsqrt(var + eps))).astype(dt)
 
 
-def embed_images(cfg: Showo2Config, params, latents_nchw: jnp.ndarray):
+def embed_images(cfg: Showo2Config, params, latents_nchw: jnp.ndarray,
+                 remat: bool = False):
     """Dual-path embedding + fusion.
 
     Image latents [B, C, H, W] -> [B, N, D_llm], N = (H/p)(W/p).
@@ -148,7 +149,10 @@ def embed_images(cfg: Showo2Config, params, latents_nchw: jnp.ndarray):
         und = und + pos[None]
     else:
         und = und + interpolate_pos_encoding(pos, h_, w_)
-    und = siglip_encode(cfg.siglip, params["und_trans"], und)
+    # remat matters under grad: without it the 26-layer scan saves every
+    # layer's fp32 [B,H,S,S] softmax probs (~2.6 GB at B=2/S=729 — the
+    # dominant stage-1 allocation by far)
+    und = siglip_encode(cfg.siglip, params["und_trans"], und, remat=remat)
 
     fused = jnp.concatenate([und, gen], axis=-1)
     fp = params["fusion_proj"]
@@ -239,7 +243,8 @@ def showo2_forward(
                                      remat=remat)
         return {"logits": logits}
 
-    image_embeds = embed_images(cfg, params, image_latents.astype(dtype))
+    image_embeds = embed_images(cfg, params, image_latents.astype(dtype),
+                                remat=remat)
 
     time_embeds = time_embed_apply(params["time_embed"], t, dtype)  # [B*M, D_dit]
     if "time_embed_proj" in params:
