@@ -29,6 +29,7 @@ def main():
     port, outdir = sys.argv[3], sys.argv[4]
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=4"
+                               + " --xla_backend_optimization_level=0"
                                ).strip()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
