@@ -445,7 +445,8 @@ def bench_train_v2(args) -> dict:
     cfg = Showo2Config()
     vae_cfg = WanVAEConfig()
     sc = Stage1Config(optimizer=opt_name,
-                      attn_impl=args.get("attn_impl", "dense"))
+                      attn_impl=args.get("attn_impl", "dense"),
+                      remat=args.get("remat", "full"))
     params = jax.jit(lambda k: init_showo2_params(cfg, k, jnp.bfloat16))(
         jax.random.PRNGKey(0))
     vae_params = jax.jit(lambda k: init_wan_vae_params(
@@ -495,14 +496,19 @@ def bench_train_v2(args) -> dict:
     dHd, dKvd = dc.num_heads * dc.head_dim, dc.num_kv_heads * dc.head_dim
     dit_p = dc.num_layers * (dD * dHd + 2 * dD * dKvd + dHd * dD
                              + 3 * dD * dF + 7 * dD * dD)
-    tflops_step = 8 * (qwen_p + dit_p) * B * L / 1e12
+    # 6 x matmul-params x tokens = fwd+bwd USEFUL matmul FLOPs (standard
+    # MFU accounting, same as metric=train for v1); remat recompute is
+    # real hardware work but not counted — lighter remat= policies raise
+    # this number by doing less recompute, as they should
+    tflops_step = 6 * (qwen_p + dit_p) * B * L / 1e12
     return {
         "metric": "train_v2_stage1_samples_per_sec_per_chip",
         "value": round(B / dt, 3), "unit": "samples/s/chip",
         "vs_baseline": None,
         "model_tflops_per_s": round(tflops_step / dt, 1),
         "pct_of_277tflops_ceiling": round(tflops_step / dt / 2.77, 1),
-        "optimizer": opt_name, "batch": B, "seq": L}
+        "optimizer": opt_name, "batch": B, "seq": L,
+        "remat": args.get("remat", "full")}
 
 
 def bench_serve(args) -> dict:

@@ -126,9 +126,19 @@ def span_modulation(ada: jnp.ndarray, modality_positions: jnp.ndarray,
     in_span = ((pos[None, None, :] >= off[..., None])
                & (pos[None, None, :] < (off + length)[..., None]))  # [B,M,L]
     oh = in_span.astype(ada.dtype)
-    mod = jnp.einsum("bml,bmk->blk", oh, ada.reshape(B, M, DN))
+    ada = ada.reshape(B, M, DN)
+    # one einsum PER CHUNK, not one [B, L, n*D] einsum split afterwards:
+    # a single big product feeding 6 different consumer fusions is
+    # materialized by XLA (measured: 10 top-level 48 MB multiplies in the
+    # t2i DiT HLO = the entire 2.2 ms modulation overhead); per-chunk
+    # products each have ONE consumer, so at M=1 (t2i) the K=1 dot is
+    # rewritten to a broadcast-multiply and fused into the modulate /
+    # gate fusion — zero HBM materialization, bit-identical math.
+    D = DN // n_chunks
+    chunks = [jnp.einsum("bml,bmk->blk", oh, ada[..., i * D:(i + 1) * D])
+              for i in range(n_chunks)]
     claimed = jnp.any(in_span, axis=1)                  # [B, L]
-    return jnp.split(mod, n_chunks, axis=-1), claimed
+    return chunks, claimed
 
 
 def timestep_embedding(t, dim, max_period=10000):
@@ -248,15 +258,22 @@ def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
     x = modulate(rms_norm(h, lp["input_ln"]["scale"], cfg.rms_norm_eps),
                  shift_msa, scale_msa)
 
+    # checkpoint_name tags power the "qkv"/"qkv_fc1" remat policies
+    # (utils/remat.py): save only these projections, recompute the rest
+    from jax.ad_checkpoint import checkpoint_name
+
     if "qkv" in lp:
-        qkv = x @ lp["qkv"]["kernel"]
+        qkv = checkpoint_name(x @ lp["qkv"]["kernel"], "qkv_out")
         q = qkv[..., :H * Dh].reshape(B, S, H, Dh)
         k = qkv[..., H * Dh:(H + Hkv) * Dh].reshape(B, S, Hkv, Dh)
         v = qkv[..., (H + Hkv) * Dh:].reshape(B, S, Hkv, Dh)
     else:
-        q = (x @ lp["q"]["kernel"]).reshape(B, S, H, Dh)
-        k = (x @ lp["k"]["kernel"]).reshape(B, S, Hkv, Dh)
-        v = (x @ lp["v"]["kernel"]).reshape(B, S, Hkv, Dh)
+        q = checkpoint_name(x @ lp["q"]["kernel"], "qkv_out"
+                            ).reshape(B, S, H, Dh)
+        k = checkpoint_name(x @ lp["k"]["kernel"], "qkv_out"
+                            ).reshape(B, S, Hkv, Dh)
+        v = checkpoint_name(x @ lp["v"]["kernel"], "qkv_out"
+                            ).reshape(B, S, Hkv, Dh)
     if cfg.qk_norm:
         q = rms_norm(q, lp["q_norm"]["scale"], 1e-6)
         k = rms_norm(k, lp["k_norm"]["scale"], 1e-6)
@@ -333,11 +350,13 @@ def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
                   shift_mlp, scale_mlp)
     if "gu" in lp:
         F = lp["down"]["kernel"].shape[-2]
-        gu = x2 @ lp["gu"]["kernel"]
+        gu = checkpoint_name(x2 @ lp["gu"]["kernel"], "fc1_out")
         mlp = (jax.nn.silu(gu[..., :F]) * gu[..., F:]) @ lp["down"]["kernel"]
     else:
-        mlp = (jax.nn.silu(x2 @ lp["gate"]["kernel"])
-               * (x2 @ lp["up"]["kernel"])) @ lp["down"]["kernel"]
+        mlp = (jax.nn.silu(checkpoint_name(x2 @ lp["gate"]["kernel"],
+                                           "fc1_out"))
+               * checkpoint_name(x2 @ lp["up"]["kernel"], "fc1_out")
+               ) @ lp["down"]["kernel"]
     return h + gate_mlp * mlp, (k_fresh, v_fresh)
 
 
@@ -361,8 +380,9 @@ def dit_forward(cfg: DiffusionHeadConfig, params, h, adaln_input,
     attn_impl = None
     if attn_meta is not None and isinstance(attn_meta[0], str):
         attn_impl, attn_meta = attn_meta[0], attn_meta[1:]
-    layer_fn = (jax.checkpoint(_dit_layer, static_argnums=(0, 9, 13))
-                if remat else _dit_layer)
+    from showo_tpu.utils.remat import wrap_remat
+
+    layer_fn = wrap_remat(_dit_layer, remat, static_argnums=(0, 9, 13))
 
     # hoist all layers' adaLN projections into ONE einsum (the per-layer
     # [B*M, D] x [D, 6D] matmuls are tiny-M and bandwidth-bound; batching

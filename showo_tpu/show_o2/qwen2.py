@@ -181,11 +181,14 @@ def quantize_int8(params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def _mlp(cfg: Qwen2Config, lp, x2):
+    from jax.ad_checkpoint import checkpoint_name
+
     if "gu" in lp:
         F = cfg.intermediate_size
-        gu = x2 @ _wk(lp["gu"])
+        gu = checkpoint_name(x2 @ _wk(lp["gu"]), "fc1_out")
         return (jax.nn.silu(gu[..., :F]) * gu[..., F:]) @ _wk(lp["down"])
-    return (jax.nn.silu(x2 @ _wk(lp["gate"])) * (x2 @ _wk(lp["up"]))) \
+    return (jax.nn.silu(checkpoint_name(x2 @ _wk(lp["gate"]), "fc1_out"))
+            * checkpoint_name(x2 @ _wk(lp["up"]), "fc1_out")) \
         @ _wk(lp["down"])
 
 
@@ -194,16 +197,24 @@ def _layer(cfg: Qwen2Config, lp, h, bias, cos, sin, cache_kv=None,
     B, S, D = h.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
+    # checkpoint_name tags power the "qkv"/"qkv_fc1" remat policies
+    # (utils/remat.py): save only these projections, recompute the rest
+    from jax.ad_checkpoint import checkpoint_name
+
     x = rms_norm(h, lp["input_ln"]["scale"], cfg.rms_norm_eps)
     if "qkv" in lp:
-        qkv = x @ _wk(lp["qkv"]) + lp["qkv"]["bias"]
+        qkv = checkpoint_name(x @ _wk(lp["qkv"]) + lp["qkv"]["bias"],
+                              "qkv_out")
         q = qkv[..., :H * Dh].reshape(B, S, H, Dh)
         k = qkv[..., H * Dh:(H + Hkv) * Dh].reshape(B, S, Hkv, Dh)
         v = qkv[..., (H + Hkv) * Dh:].reshape(B, S, Hkv, Dh)
     else:
-        q = (x @ _wk(lp["q"]) + lp["q"]["bias"]).reshape(B, S, H, Dh)
-        k = (x @ _wk(lp["k"]) + lp["k"]["bias"]).reshape(B, S, Hkv, Dh)
-        v = (x @ _wk(lp["v"]) + lp["v"]["bias"]).reshape(B, S, Hkv, Dh)
+        q = checkpoint_name(x @ _wk(lp["q"]) + lp["q"]["bias"], "qkv_out"
+                            ).reshape(B, S, H, Dh)
+        k = checkpoint_name(x @ _wk(lp["k"]) + lp["k"]["bias"], "qkv_out"
+                            ).reshape(B, S, Hkv, Dh)
+        v = checkpoint_name(x @ _wk(lp["v"]) + lp["v"]["bias"], "qkv_out"
+                            ).reshape(B, S, Hkv, Dh)
     q, k = apply_rope_full(q, k, cos, sin)
 
     if cache_kv is not None:
@@ -330,8 +341,9 @@ def qwen2_forward(
     attn_impl = None
     if attn_meta is not None and isinstance(attn_meta[0], str):
         attn_impl, attn_meta = attn_meta[0], attn_meta[1:]
-    layer_fn = (jax.checkpoint(_layer, static_argnums=(0, 9))
-                if remat else _layer)
+    from showo_tpu.utils.remat import wrap_remat
+
+    layer_fn = wrap_remat(_layer, remat, static_argnums=(0, 9))
 
     if cache is not None:
         index = cache_offsets if cache_offsets is not None else cache.length

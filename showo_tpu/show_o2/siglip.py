@@ -83,9 +83,16 @@ def _layer(cfg: SigLipConfig, lp, h):
     return h + mlp
 
 
-def siglip_encode(cfg: SigLipConfig, params, x, remat: bool = False):
-    """x: [B, S, D] patch embeddings (position embedding already added)."""
-    layer_fn = jax.checkpoint(_layer, static_argnums=(0,)) if remat else _layer
+def siglip_encode(cfg: SigLipConfig, params, x, remat=False):
+    """x: [B, S, D] patch embeddings (position embedding already added).
+
+    remat matters under grad: without it the 26-layer scan saves every
+    layer's fp32 [B, H, S, S] softmax probs (~2.6 GB at B=2, S=729 —
+    the dominant stage-1 allocation).  Accepts the utils/remat ladder;
+    the named policies (no tags here) degrade to full recompute."""
+    from showo_tpu.utils.remat import wrap_remat
+
+    layer_fn = wrap_remat(_layer, remat, static_argnums=(0,))
 
     def body(h, lp):
         return layer_fn(cfg, lp, h), None

@@ -58,6 +58,9 @@ class Stage1Config:
     # lever that fits 1.5B stage-1 training on ONE 16 GB chip, where
     # bf16-AdamW state alone is 14.4 GB — see STATUS.md)
     optimizer: str = "adamw"
+    # remat ladder (utils/remat.py): "full" | "dots" | "qkv" | "qkv_fc1"
+    # | "none" — lighter policies trade HBM for less backward recompute
+    remat: str = "full"
 
 
 def make_stage1_optimizer(sc: Stage1Config, params,
@@ -152,7 +155,8 @@ def make_stage1_step(cfg: Showo2Config, vae_cfg: WanVAEConfig,
                 cfg, params, batch["text_tokens"], xt, t, bias,
                 batch["modality_positions"],
                 text_labels=batch["text_labels"], image_labels=ut,
-                image_masks=image_masks, remat=True, attn_meta=attn_meta)
+                image_masks=image_masks, remat=sc.remat,
+                attn_meta=attn_meta)
             loss_flow = out["loss_flow"]
             total = sc.ntp_coeff * out["loss_ntp"] + sc.flow_coeff * loss_flow
             return total, (out["loss_ntp"], loss_flow)

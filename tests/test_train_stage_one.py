@@ -240,3 +240,23 @@ def test_stage1_trainer_adafactor_and_bf16_moments():
     st = make_stage1_optimizer(sc_a, big).init(big)
     n_big = sum(x.size for x in jax.tree.leaves(st) if hasattr(x, "size"))
     assert n_big < 0.05 * 256 * 512, n_big
+
+
+def test_remat_policies_identical_loss():
+    """The remat ladder (utils/remat.py: full/qkv_fc1/none via the
+    checkpoint_name tags in qwen2/dit) must be a pure memory/recompute
+    trade — every policy computes the SAME step."""
+    params = init_showo2_params(TINY, jax.random.PRNGKey(0))
+    vae_params = init_wan_vae_params(VAE_TINY, jax.random.PRNGKey(1))
+    batch = _batch()
+    losses = {}
+    for remat in ("full", "qkv_fc1", "none"):
+        trainer = Stage1Trainer(
+            cfg=TINY, vae_cfg=VAE_TINY, sc=Stage1Config(remat=remat),
+            params=jax.tree.map(jnp.copy, params), vae_params=vae_params,
+            transport=Transport(snr_type="lognorm", do_shift=True,
+                                seq_len=N_IMG))
+        losses[remat] = float(trainer.train_step(batch,
+                                                 jax.random.PRNGKey(7))["loss"])
+    vals = list(losses.values())
+    assert all(abs(v - vals[0]) < 1e-5 for v in vals), losses
