@@ -343,6 +343,13 @@ def bench_train(args) -> dict:
     res = int(args.get("resolution", 256))
 
     cfg = ShowoConfig()
+    if args.get("softmax", "fp32") == "bf16":
+        # throughput mode: bf16 attention softmax halves the [B,H,S,S]
+        # score traffic (the parity default stays fp32 — the reference
+        # upcasts QK scores even under bf16 autocast, models/phi.py)
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, llm=_dc.replace(cfg.llm, attn_fp32=False))
     vq_cfg = VQConfig()
     tc = TrainConfig(max_seq_length=128,
                      attn_impl=args.get("attn_impl", "dense"),

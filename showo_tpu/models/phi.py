@@ -460,10 +460,16 @@ def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
         new_kv = (k, v)
         q_positions = None
 
-    attn = _attention(
+    # "attn_out" tag: the remat rungs qkv_attn / qkv_fc1_attn save this
+    # [B,S,D] tensor so backward recomputes ONLY the S x S attention
+    # internals (QK matmul + softmax, ~3% of layer FLOPs at S=387) —
+    # never the four big matmuls, and never materializing the fp32
+    # probs that OOM remat=none (f32[L,B,H,S,S] ~ 17.9 GB at the recipe
+    # batch).
+    attn = checkpoint_name(_attention(
         q, k_att, v_att, bias, attn_meta, q_positions,
         softmax_dtype=jnp.float32 if cfg.attn_fp32 else jnp.bfloat16,
-    ).reshape(B, S, D)
+    ).reshape(B, S, D), "attn_out")
     attn = attn @ _wk(lp["dense"]) + lp["dense"]["bias"]
 
     fc1 = checkpoint_name(x @ _wk(lp["fc1"]) + lp["fc1"]["bias"], "fc1_out")
@@ -544,6 +550,21 @@ def phi_forward(
             base_layer, static_argnums=(0,),
             policy=jax.checkpoint_policies.save_only_these_names(
                 "qkv_out", "fc1_out"))
+    elif remat == "qkv_attn":
+        # + attention output: backward recomputes ln/fc1/gelu/dense but
+        # NOT the S x S attention (saved post-attention [B,S,D] rows)
+        layer_fn = jax.checkpoint(
+            base_layer, static_argnums=(0,),
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "qkv_out", "attn_out"))
+    elif remat == "qkv_fc1_attn":
+        # near-remat-free: all four matmul outputs saved; backward
+        # recomputes only norms/elementwise + the S x S attention
+        # internals (~3% of layer FLOPs at the recipe S=387)
+        layer_fn = jax.checkpoint(
+            base_layer, static_argnums=(0,),
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "qkv_out", "fc1_out", "attn_out"))
     else:
         layer_fn = jax.checkpoint(base_layer, static_argnums=(0,))
 

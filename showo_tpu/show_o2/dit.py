@@ -120,6 +120,20 @@ def span_modulation(ada: jnp.ndarray, modality_positions: jnp.ndarray,
         assert M == 1, "full_span fast path requires a single span"
         chunks = jnp.split(ada.reshape(B, 1, DN), n_chunks, axis=-1)
         return chunks, None
+    if M == 1:
+        # single-span fast path (every t2i/t2v call): no [B, L, D]
+        # modulation tensors at all — return the per-sample [B, 1, D]
+        # chunks plus the in-span row mask; consumers apply them with a
+        # fused elementwise select (see _dit_layer), which XLA cannot
+        # fail to fuse the way it can (and did, 2.2 ms/step) with the
+        # one-hot dot form below.
+        chunks = jnp.split(ada.reshape(B, 1, DN), n_chunks, axis=-1)
+        off = modality_positions[:, 0, 0]
+        length = modality_positions[:, 0, 1]
+        pos = jnp.arange(L)
+        claimed = ((pos[None, :] >= off[:, None])
+                   & (pos[None, :] < (off + length)[:, None]))   # [B, L]
+        return chunks, claimed
     pos = jnp.arange(L)
     off = modality_positions[..., 0]                    # [B, M]
     length = modality_positions[..., 1]
@@ -249,14 +263,31 @@ def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
     (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp
      ), claimed = span_modulation(ada, modality_positions, L,
                                   full_span=full_span)
-    if claimed is not None:
-        # gate default is 1 outside spans (span_broadcast semantics)
-        out_of_span = (~claimed)[..., None].astype(gate_msa.dtype)
-        gate_msa = gate_msa + out_of_span
-        gate_mlp = gate_mlp + out_of_span
+    if claimed is not None and shift_msa.shape[1] == 1:
+        # M=1 fast path: [B,1,D] per-sample chunks + [B,L] row mask.
+        # Pure-elementwise select — in-span rows modulated/gated,
+        # out-of-span rows pass through (bit-identical to the one-hot
+        # form: modulate(x,0,0)=x exactly and gate defaults to 1).
+        c = claimed[..., None]
 
-    x = modulate(rms_norm(h, lp["input_ln"]["scale"], cfg.rms_norm_eps),
-                 shift_msa, scale_msa)
+        def _mod(xn, sh, sc):
+            return jnp.where(c, modulate(xn, sh, sc), xn)
+
+        def _gate(g, y):
+            return jnp.where(c, g * y, y)
+    else:
+        if claimed is not None:
+            # gate default is 1 outside spans (span_broadcast semantics)
+            out_of_span = (~claimed)[..., None].astype(gate_msa.dtype)
+            gate_msa = gate_msa + out_of_span
+            gate_mlp = gate_mlp + out_of_span
+        _mod = modulate
+
+        def _gate(g, y):
+            return g * y
+
+    x = _mod(rms_norm(h, lp["input_ln"]["scale"], cfg.rms_norm_eps),
+             shift_msa, scale_msa)
 
     # checkpoint_name tags power the "qkv"/"qkv_fc1" remat policies
     # (utils/remat.py): save only these projections, recompute the rest
@@ -342,12 +373,14 @@ def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
             scores = scores + bias[:, :, None].astype(jnp.float32)
         probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         attn = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v).reshape(B, S, H * Dh)
-    attn = attn @ lp["o"]["kernel"]
+    # "attn_out": the qkv_attn/qkv_fc1_attn remat rungs save the
+    # post-attention rows so backward skips the S x S recompute
+    attn = checkpoint_name(attn, "attn_out") @ lp["o"]["kernel"]
 
-    h = h + gate_msa * attn
+    h = h + _gate(gate_msa, attn)
 
-    x2 = modulate(rms_norm(h, lp["post_ln"]["scale"], cfg.rms_norm_eps),
-                  shift_mlp, scale_mlp)
+    x2 = _mod(rms_norm(h, lp["post_ln"]["scale"], cfg.rms_norm_eps),
+              shift_mlp, scale_mlp)
     if "gu" in lp:
         F = lp["down"]["kernel"].shape[-2]
         gu = checkpoint_name(x2 @ lp["gu"]["kernel"], "fc1_out")
@@ -357,7 +390,7 @@ def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
                                            "fc1_out"))
                * checkpoint_name(x2 @ lp["up"]["kernel"], "fc1_out")
                ) @ lp["down"]["kernel"]
-    return h + gate_mlp * mlp, (k_fresh, v_fresh)
+    return h + _gate(gate_mlp, mlp), (k_fresh, v_fresh)
 
 
 def dit_forward(cfg: DiffusionHeadConfig, params, h, adaln_input,
@@ -434,7 +467,12 @@ def final_layer_apply(p, x, adaln_input, modality_positions,
     """FinalLayer (modules.py:787-806)."""
     L = x.shape[1]
     ada = jax.nn.silu(adaln_input) @ p["adaln"]["kernel"] + p["adaln"]["bias"]
-    (shift, scale), _ = span_modulation(ada, modality_positions, L,
-                                        n_chunks=2, full_span=full_span)
-    x = modulate(rms_norm(x, p["norm"]["scale"], rms_eps), shift, scale)
+    (shift, scale), claimed = span_modulation(ada, modality_positions, L,
+                                              n_chunks=2, full_span=full_span)
+    xn = rms_norm(x, p["norm"]["scale"], rms_eps)
+    x = modulate(xn, shift, scale)
+    if claimed is not None and shift.shape[1] == 1:
+        # M=1 fast path: out-of-span rows pass through unmodulated
+        # (bit-identical: modulate(x, 0, 0) == x)
+        x = jnp.where(claimed[..., None], x, xn)
     return x @ p["linear"]["kernel"] + p["linear"]["bias"]

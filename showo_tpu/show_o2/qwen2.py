@@ -281,7 +281,9 @@ def _layer(cfg: Qwen2Config, lp, h, bias, cos, sin, cache_kv=None,
                 q.reshape(B, S, H * Dh), k_att.reshape(B, Skv, Hkv * Dh),
                 v_att.reshape(B, Skv, Hkv * Dh), seg, pad, last_pad, prefix,
                 num_heads=H, num_kv_heads=Hkv, q_positions=q_positions)
-        attn = attn @ _wk(lp["o"])
+        # "attn_out": the qkv_attn/qkv_fc1_attn remat rungs save the
+        # post-attention rows so backward skips the S x S recompute
+        attn = checkpoint_name(attn, "attn_out") @ _wk(lp["o"])
         h = h + attn
         x2 = rms_norm(h, lp["post_ln"]["scale"], cfg.rms_norm_eps)
         return h + _mlp(cfg, lp, x2), new_kv
@@ -300,7 +302,9 @@ def _layer(cfg: Qwen2Config, lp, h, bias, cos, sin, cache_kv=None,
         scores = scores + bias[:, :, None].astype(jnp.float32)
     probs = jax.nn.softmax(scores, axis=-1).astype(v_att.dtype)
     attn = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v_att).reshape(B, S, H * Dh)
-    attn = attn @ _wk(lp["o"])
+    # "attn_out": the qkv_attn/qkv_fc1_attn remat rungs save the
+    # post-attention rows so backward skips the S x S recompute
+    attn = checkpoint_name(attn, "attn_out") @ _wk(lp["o"])
 
     h = h + attn
     x2 = rms_norm(h, lp["post_ln"]["scale"], cfg.rms_norm_eps)

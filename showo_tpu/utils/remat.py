@@ -8,6 +8,9 @@ the v2 towers (show_o2/qwen2.py, show_o2/dit.py) the same ladder:
   "dots"            — save matmul outputs, recompute norms/elementwise
   "qkv"             — save only outputs tagged "qkv_out"
   "qkv_fc1"         — save "qkv_out" + "fc1_out"
+  "qkv_attn"        — save "qkv_out" + "attn_out" (post-attention rows)
+  "qkv_fc1_attn"    — all matmul outputs; recompute only norms/
+                      elementwise + the S x S attention internals
 
 The named policies rest on jax.ad_checkpoint.checkpoint_name tags placed
 at the projection outputs inside each layer body.
@@ -32,5 +35,17 @@ def wrap_remat(fn, remat, static_argnums=(0,)):
             fn, static_argnums=static_argnums,
             policy=jax.checkpoint_policies.save_only_these_names(
                 "qkv_out", "fc1_out"))
+    if remat == "qkv_attn":
+        return jax.checkpoint(
+            fn, static_argnums=static_argnums,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "qkv_out", "attn_out"))
+    if remat == "qkv_fc1_attn":
+        # near-remat-free: matmul outputs saved, backward recomputes
+        # only norms/elementwise + the S x S attention internals
+        return jax.checkpoint(
+            fn, static_argnums=static_argnums,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "qkv_out", "fc1_out", "attn_out"))
     # True / "full"
     return jax.checkpoint(fn, static_argnums=static_argnums)
