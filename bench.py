@@ -304,7 +304,8 @@ def bench_t2v(args) -> dict:
     pipe = T2VPipeline(cfg=cfg, params=params, vae_cfg=vae_cfg,
                        vae_params=vae_params, tokenizer=Tok(), token_ids=ids,
                        num_latent_frames=frames, guidance_scale=5.0,
-                       num_steps=steps, max_text_len=256)
+                       num_steps=steps, max_text_len=256,
+                       attn_impl=args.get("attn_impl", "auto"))
     prompts = ["a"] * B
     out = pipe.generate(prompts, jax.random.PRNGKey(2))
     np.asarray(out[:, :1, :2, :2])
@@ -634,6 +635,11 @@ def bench_serve(args) -> dict:
         "static_batch_tok_per_s": round(total_tokens / static_s, 2),
         "requests": n_req, "slots": slots, "chunk": chunk,
         "fused_admit": bool(server.engine._fused_admit_for is not None)}
+    if args.get("top_k") == "none" or "top_p" in args \
+            or float(args.get("temperature", 1.0)) != 1.0:
+        out["sampling"] = {"temperature": float(args.get("temperature", 1.0)),
+                           "top_k": args.get("top_k", "1"),
+                           "top_p": args.get("top_p")}
     if spec:
         steps = max(1, server.engine.stat_steps)
         out["speculative_k"] = spec
@@ -878,6 +884,11 @@ SUITE = [
     ("serve_v1_spec2_int8", "serve", {"spec": "2", "int8": "1"}),
     ("serve_v2_spec2_int8", "serve_v2",
      {"spec": "2", "int8": "1", "slots": "8"}),
+    # temperature sampling + speculative: rejection resampling keeps the
+    # token distribution exact (tests/test_spec_sampling.py)
+    ("serve_v1_spec2_sampled", "serve",
+     {"spec": "2", "int8": "1", "temperature": "0.9", "top_p": "0.9",
+      "top_k": "none"}),
     ("t2i_v2_euler50", "t2i_v2", {}),
     ("t2i_v2_dpm20", "t2i_v2", {"sampler": "dpm", "steps": "20"}),
     ("t2v", "t2v", {}),

@@ -37,6 +37,11 @@ class T2VPipeline:
     time_shifting_factor: float = 3.0
     max_text_len: int = 256
     fuse_weights: bool = True  # qkv + gate/up wide-matmul fusions
+    # "auto" routes attention through the packed Pallas kernel at video
+    # lengths (S ~ 215 + T*729: the dense path materializes fp32
+    # [B,H,S,S] scores per layer — 1.4 GB of HBM traffic/layer at T=5);
+    # "dense" keeps the additive-bias path
+    attn_impl: str = "auto"
 
     def __post_init__(self):
         if self.fuse_weights:
@@ -94,13 +99,30 @@ class T2VPipeline:
         span_end = int(np.max(np.asarray(mp_r[:, :, 0] + mp_r[:, :, 1])))
         L = min(text.shape[1], (span_end + 127) // 128 * 128)
         text = text[:, :L]
-        bias = omni_attn_mask(mp_r, L)
+
+        impl = self.attn_impl
+        if impl == "auto":
+            impl = ("pallas_packed" if self.num_video_tokens >= 512
+                    else "dense")
+        bias, attn_meta = None, None
+        if impl.startswith("pallas"):
+            from showo_tpu.ops.flash_attention import \
+                seg_from_modality_positions
+
+            Bc = text.shape[0]
+            seg = seg_from_modality_positions(mp_r, L)
+            attn_meta = (impl, seg, jnp.zeros((Bc, L), jnp.int32),
+                         jnp.full((Bc,), -1, jnp.int32),
+                         jnp.zeros((Bc,), jnp.int32))
+        else:
+            bias = omni_attn_mask(mp_r, L)
 
         def drift(x, t):
             return showo2_t2i_velocity(
                 cfg, self.params, text, x, t, bias, mp_r,
                 guidance_scale=self.guidance_scale,
-                first_frame_as_cond=i2v, num_frames=T)
+                first_frame_as_cond=i2v, num_frames=T,
+                attn_meta=attn_meta)
 
         grid = ode_timegrid(self.num_steps,
                             time_shifting_factor=self.time_shifting_factor)
