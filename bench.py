@@ -892,7 +892,12 @@ SUITE = [
     ("t2i_v2_euler50", "t2i_v2", {}),
     ("t2i_v2_dpm20", "t2i_v2", {"sampler": "dpm", "steps": "20"}),
     ("t2v", "t2v", {}),
-    ("train_v1", "train", {"remat": "qkv", "opt": "adafactor"}),
+    # remat=full/adamw is the only config that compiles AND fits on the
+    # real 16 GB chip at the recipe batch: remat=qkv adamw OOMs,
+    # qkv_attn/qkv_fc1_attn crash the TPU compile helper, qkv+adafactor
+    # exceeds a 900 s compile budget (r4 ladder, STATUS.md) — the named
+    # rungs stay for v2 stage-1 (where they are what makes 16 GB fit)
+    ("train_v1", "train", {}),
     ("train_v2", "train_v2", {}),
 ]
 

@@ -78,7 +78,7 @@ def main():
     # --- nomod: neutralize span modulation (scalars fold into elementwise)
     orig_sm = ditmod.span_modulation
 
-    def scalar_sm(ada, modality_positions, L, n_chunks=6):
+    def scalar_sm(ada, modality_positions, L, n_chunks=6, **kw):
         Bm = modality_positions.shape[0]
         D = ada.shape[1] // n_chunks
         z = jnp.zeros((Bm, 1, D), ada.dtype)
@@ -90,7 +90,7 @@ def main():
     ditmod.span_modulation = orig_sm
 
     # --- gather variant: the 6 original span_broadcast row-gathers
-    def gather_sm(ada, modality_positions, L, n_chunks=6):
+    def gather_sm(ada, modality_positions, L, n_chunks=6, **kw):
         chunks = jnp.split(ada, n_chunks, axis=-1)
         outs = [ditmod.span_broadcast(c, modality_positions, L, 0.0)
                 for c in chunks]
@@ -108,7 +108,7 @@ def main():
     # --- broadcast variant (M == 1): where(in_span, ada[b], 0) — a pure
     # broadcast+select that XLA fuses into the modulate consumers, vs the
     # einsum's materialized [B, L, 6D] dot output
-    def broadcast_sm(ada, modality_positions, L, n_chunks=6):
+    def broadcast_sm(ada, modality_positions, L, n_chunks=6, **kw):
         Bm, DN = ada.shape
         B = modality_positions.shape[0]
         pos = jnp.arange(L)
