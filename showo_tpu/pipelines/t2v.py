@@ -42,6 +42,12 @@ class T2VPipeline:
     # [B,H,S,S] scores per layer — 1.4 GB of HBM traffic/layer at T=5);
     # "dense" keeps the additive-bias path
     attn_impl: str = "auto"
+    # "auto": full-clip VAE decode below the threshold (faster — one fused
+    # program), chunked-streaming decode above it (constant activation
+    # memory in T — the reference's feat_cache path, wan_vae.py streaming
+    # mode).  "full" / "streaming" force a path.
+    vae_mode: str = "auto"
+    vae_streaming_min_frames: int = 9   # latent frames
 
     def __post_init__(self):
         if self.fuse_weights:
@@ -127,5 +133,13 @@ class T2VPipeline:
         grid = ode_timegrid(self.num_steps,
                             time_shifting_factor=self.time_shifting_factor)
         out = sample_ode_euler(drift, z, grid)[:B]
-        videos = wan_decode(self.vae_cfg, self.vae_params, out)
+        streaming = (self.vae_mode == "streaming"
+                     or (self.vae_mode == "auto"
+                         and T >= self.vae_streaming_min_frames))
+        if streaming:
+            from showo_tpu.show_o2.wan_vae import wan_decode_streaming
+
+            videos = wan_decode_streaming(self.vae_cfg, self.vae_params, out)
+        else:
+            videos = wan_decode(self.vae_cfg, self.vae_params, out)
         return np.asarray(jnp.transpose(videos, (0, 2, 3, 4, 1)))

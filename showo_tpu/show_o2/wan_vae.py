@@ -367,3 +367,209 @@ def wan_decode(cfg: WanVAEConfig, params, z_ncthw):
     z = _to_tlast(z_ncthw) * WAN_LATENT_STD + WAN_LATENT_MEAN
     x = wan_decode_raw(cfg, params, z)
     return jnp.clip(_to_cfirst(x), -1.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Streaming (chunked) mode — constant-memory equivalents of the reference's
+# feat_cache threading (wan21_vae.py:516-568 chunked encode / per-frame
+# decode, cache mechanics :101-160).
+#
+# TPU-first formulation: instead of the reference's imperative per-conv
+# list-of-tensors cache, the temporal state is a *pytree of fixed-shape
+# per-conv buffers* carried through ``jax.lax.scan`` over fixed-size
+# chunks (4 pixel frames in, 1 latent frame; 1 latent frame in, 4 pixel
+# frames out).  One compiled program per phase (bootstrap + scan body),
+# static shapes, activation memory constant in T.
+#
+# Exactness notes (verified by tests/test_wan_vae_streaming.py parity
+# against the full-clip formulation):
+#   * stride-1 CausalConv3d left-pads 2 zeros; a zero-initialized 2-frame
+#     cache concatenated in front of each chunk reproduces every window,
+#     including the reference's None->1-frame-cache bootstrap (the missing
+#     second frame is the zero the left pad would have supplied);
+#   * downsample3d: chunk 0 passes through and seeds the 1-frame cache
+#     with the real frame (wan21_vae.py:145-160);
+#   * upsample3d: chunk 0 passes through ('Rep' bootstrap :103-137); a
+#     zero-initialized 2-frame cache reproduces both the 'Rep' zero-pad
+#     chunk and all later prev-frame chunks.
+# ---------------------------------------------------------------------------
+
+
+def _cc3d_stream(p, x, caches, name):
+    """Streaming stride-1 causal conv: 2-frame carried cache (kT == 3)."""
+    kT, kH, kW = p["kernel"].shape[:3]
+    if kT == 1:
+        return causal_conv3d(p, x), caches
+    x = x.astype(p["kernel"].dtype)
+    cache = caches.get(name)
+    if cache is None:
+        cache = jnp.zeros((x.shape[0], 2) + x.shape[2:], x.dtype)
+    inp = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+    out = jax.lax.conv_general_dilated(
+        inp, p["kernel"], window_strides=(1, 1, 1),
+        padding=((0, 0), (kH // 2, kH // 2), (kW // 2, kW // 2)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + p["bias"]
+    caches = dict(caches, **{name: inp[:, -2:]})
+    return out, caches
+
+
+def _res_stream(p, x, caches, name):
+    h = rms_norm_channel(p["norm1"], x)
+    h = jax.nn.silu(h)
+    h, caches = _cc3d_stream(p["conv1"], h, caches, name + "/c1")
+    h = rms_norm_channel(p["norm2"], h)
+    h = jax.nn.silu(h)
+    h, caches = _cc3d_stream(p["conv2"], h, caches, name + "/c2")
+    sc = causal_conv3d(p["shortcut"], x) if "shortcut" in p else x
+    return sc + h, caches
+
+
+def _time_down_stream(p, x, caches, name, first: bool):
+    if first:  # chunk 0: passthrough, seed the 1-frame cache (real frame)
+        return x, dict(caches, **{name: x[:, -1:]})
+    cache = caches[name]
+    inp = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+    out = jax.lax.conv_general_dilated(
+        inp, p["kernel"], window_strides=(2, 1, 1), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + p["bias"]
+    return out, dict(caches, **{name: inp[:, -1:]})
+
+
+def _time_up_stream(p, x, caches, name, first: bool):
+    B, T, H, W, C = x.shape
+    if first:  # chunk 0: passthrough ('Rep'), zero 2-frame cache
+        cache = jnp.zeros((B, 2, H, W, C), p["kernel"].dtype)
+        return x, dict(caches, **{name: cache})
+    cache = caches[name]
+    inp = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+    conv = jax.lax.conv_general_dilated(
+        inp, p["kernel"], window_strides=(1, 1, 1), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + p["bias"]
+    conv = conv.reshape(B, T, H, W, 2, C)
+    conv = jnp.moveaxis(conv, 4, 2).reshape(B, T * 2, H, W, C)
+    return conv, dict(caches, **{name: inp[:, -2:]})
+
+
+def _encoder_chunk(cfg: WanVAEConfig, params, x, caches, first: bool):
+    """One encoder chunk ([B,1,...] bootstrap / [B,4,...] steady state)
+    -> pre-facade latent chunk + updated caches."""
+    enc = params["encoder"]
+    caches = dict(caches or {})
+    h, caches = _cc3d_stream(enc["conv1"], x, caches, "conv1")
+    for idx, (kind, _meta) in enumerate(encoder_structure(cfg)):
+        p = enc[f"b{idx}"]
+        name = f"b{idx}"
+        if kind == "res":
+            h, caches = _res_stream(p, h, caches, name)
+        elif kind == "downsample2d":
+            h = _spatial_resample_down(p["conv"], h)
+        else:
+            h = _spatial_resample_down(p["conv"], h)
+            h, caches = _time_down_stream(p["time"], h, caches,
+                                          name + "/t", first)
+    h, caches = _res_stream(enc["mid_res1"], h, caches, "mid1")
+    h = _attention_block(enc["mid_attn"], h)
+    h, caches = _res_stream(enc["mid_res2"], h, caches, "mid2")
+    h = rms_norm_channel(enc["head_norm"], h)
+    h = jax.nn.silu(h)
+    h, caches = _cc3d_stream(enc["head_conv"], h, caches, "head")
+    return h, caches
+
+
+def _decoder_chunk(cfg: WanVAEConfig, params, z, caches, first: bool):
+    """One decoder chunk ([B,1,...] latent frame) -> pixel frames
+    ([B,1,...] bootstrap / [B,4,...] steady state) + updated caches."""
+    dec = params["decoder"]
+    caches = dict(caches or {})
+    h, caches = _cc3d_stream(dec["conv1"], z, caches, "conv1")
+    h, caches = _res_stream(dec["mid_res1"], h, caches, "mid1")
+    h = _attention_block(dec["mid_attn"], h)
+    h, caches = _res_stream(dec["mid_res2"], h, caches, "mid2")
+    for idx, (kind, _meta) in enumerate(decoder_structure(cfg)):
+        p = dec[f"b{idx}"]
+        name = f"b{idx}"
+        if kind == "res":
+            h, caches = _res_stream(p, h, caches, name)
+        elif kind == "upsample2d":
+            h = _spatial_resample_up(p["conv"], h)
+        else:
+            h, caches = _time_up_stream(p["time"], h, caches,
+                                        name + "/t", first)
+            h = _spatial_resample_up(p["conv"], h)
+    h = rms_norm_channel(dec["head_norm"], h)
+    h = jax.nn.silu(h)
+    h, caches = _cc3d_stream(dec["head_conv"], h, caches, "head")
+    return h, caches
+
+
+def _temporal_factor(cfg: WanVAEConfig) -> int:
+    """Pixel frames per latent frame = 2^(#temporal downsamples)."""
+    return 2 ** sum(bool(d) for d in cfg.temperal_downsample)
+
+
+def wan_encode_raw_streaming(cfg: WanVAEConfig, params, x):
+    """Chunked encode: x [B, T, H, W, 3] with T = 1 + f*k (f = temporal
+    factor, 4 for the shipped config) -> (mu, log_var).  Bit-equal to
+    wan_encode_raw; activation memory constant in T."""
+    B, T = x.shape[:2]
+    f = _temporal_factor(cfg)
+    assert (T - 1) % f == 0, f"streaming encode needs T = 1+{f}k, got {T}"
+    out0, caches = _encoder_chunk(cfg, params, x[:, :1], None, first=True)
+    k = (T - 1) // f
+    if k:
+        chunks = jnp.moveaxis(
+            x[:, 1:].reshape(B, k, f, *x.shape[2:]), 1, 0)
+
+        def body(caches, xc):
+            out, caches = _encoder_chunk(cfg, params, xc, caches, first=False)
+            return caches, out
+
+        _, outs = jax.lax.scan(body, caches, chunks)
+        # [k, B, 1, h, w, C] -> [B, k, h, w, C]
+        outs = jnp.moveaxis(outs[:, :, 0], 0, 1)
+        h = jnp.concatenate([out0, outs], axis=1)
+    else:
+        h = out0
+    h = causal_conv3d(params["conv1"], h)
+    mu, log_var = jnp.split(h, 2, axis=-1)
+    return mu, log_var
+
+
+def wan_decode_raw_streaming(cfg: WanVAEConfig, params, z):
+    """Per-latent-frame decode: z [B, T', h, w, z_dim] ->
+    [B, 4(T'-1)+1, 8h, 8w, 3].  Bit-equal to wan_decode_raw."""
+    B, Tz = z.shape[:2]
+    h = causal_conv3d(params["conv2"], z)
+    out0, caches = _decoder_chunk(cfg, params, h[:, :1], None, first=True)
+    if Tz > 1:
+        frames = jnp.moveaxis(h[:, 1:, None], 1, 0)  # [T'-1, B, 1, h, w, C]
+
+        def body(caches, zc):
+            out, caches = _decoder_chunk(cfg, params, zc, caches, first=False)
+            return caches, out
+
+        _, outs = jax.lax.scan(body, caches, frames)
+        # [T'-1, B, 4, H, W, 3] -> [B, 4(T'-1), H, W, 3]
+        outs = jnp.moveaxis(outs, 0, 1).reshape(B, -1, *outs.shape[3:])
+        return jnp.concatenate([out0, outs], axis=1)
+    return out0
+
+
+def wan_encode_streaming(cfg: WanVAEConfig, params, videos_ncthw, key=None,
+                         deterministic: bool = False):
+    """`WanVAE.sample` in chunked-streaming mode (constant memory in T)."""
+    mu, log_var = wan_encode_raw_streaming(cfg, params,
+                                           _to_tlast(videos_ncthw))
+    mu = (mu - WAN_LATENT_MEAN) / WAN_LATENT_STD
+    if deterministic:
+        return _to_cfirst(mu)
+    std = jnp.exp(0.5 * jnp.clip(log_var, -30.0, 20.0))
+    eps = jax.random.normal(key, std.shape, std.dtype)
+    return _to_cfirst(mu + std * eps)
+
+
+def wan_decode_streaming(cfg: WanVAEConfig, params, z_ncthw):
+    """`WanVAE.batch_decode` in per-frame streaming mode."""
+    z = _to_tlast(z_ncthw) * WAN_LATENT_STD + WAN_LATENT_MEAN
+    x = wan_decode_raw_streaming(cfg, params, z)
+    return jnp.clip(_to_cfirst(x), -1.0, 1.0)

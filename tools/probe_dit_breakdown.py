@@ -79,6 +79,10 @@ def main():
     orig_sm = ditmod.span_modulation
 
     def scalar_sm(ada, modality_positions, L, n_chunks=6, **kw):
+        # fail loudly if a future probe exercises the cached-window fast
+        # path: these variants don't implement full_span semantics and
+        # would silently measure the wrong thing (ADVICE r4)
+        assert not kw.get("full_span"), "scalar_sm: full_span unsupported"
         Bm = modality_positions.shape[0]
         D = ada.shape[1] // n_chunks
         z = jnp.zeros((Bm, 1, D), ada.dtype)
@@ -91,6 +95,7 @@ def main():
 
     # --- gather variant: the 6 original span_broadcast row-gathers
     def gather_sm(ada, modality_positions, L, n_chunks=6, **kw):
+        assert not kw.get("full_span"), "gather_sm: full_span unsupported"
         chunks = jnp.split(ada, n_chunks, axis=-1)
         outs = [ditmod.span_broadcast(c, modality_positions, L, 0.0)
                 for c in chunks]
@@ -109,6 +114,7 @@ def main():
     # broadcast+select that XLA fuses into the modulate consumers, vs the
     # einsum's materialized [B, L, 6D] dot output
     def broadcast_sm(ada, modality_positions, L, n_chunks=6, **kw):
+        assert not kw.get("full_span"), "broadcast_sm: full_span unsupported"
         Bm, DN = ada.shape
         B = modality_positions.shape[0]
         pos = jnp.arange(L)
