@@ -595,6 +595,7 @@ def bench_serve(args) -> dict:
             server.submit(_wreq(bucket), 4)  # admitted busy: fused
         server.run(jax.random.PRNGKey(0))
     server.engine.stat_steps = 0
+    server.engine.reset_ab()   # warmup must not consume spec probation
     for p, b in reqs:
         server.submit(p, b)
     t0 = time.perf_counter()
@@ -644,6 +645,8 @@ def bench_serve(args) -> dict:
         steps = max(1, server.engine.stat_steps)
         out["speculative_k"] = spec
         out["tokens_per_lane_step"] = round(total_tokens / (steps * slots), 3)
+        if server.engine.ab_choice is not None:
+            out["spec_ab_choice"] = server.engine.ab_choice
     return out
 
 
@@ -742,6 +745,7 @@ def bench_serve_v2(args) -> dict:
             _wsubmit(b, 4)
         server.run(jax.random.PRNGKey(0))
     server.engine.stat_steps = 0
+    server.engine.reset_ab()   # warmup must not consume spec probation
     for emb, start, budget, ids in reqs:
         submit(emb, start, budget, ids)
     t0 = time.perf_counter()
@@ -757,6 +761,8 @@ def bench_serve_v2(args) -> dict:
         steps = max(1, server.engine.stat_steps)
         out["speculative_k"] = spec
         out["tokens_per_lane_step"] = round(total_tokens / (steps * slots), 3)
+        if server.engine.ab_choice is not None:
+            out["spec_ab_choice"] = server.engine.ab_choice
     return out
 
 
@@ -884,8 +890,14 @@ SUITE = [
     ("serve_v1_spec2_int8", "serve", {"spec": "2", "int8": "1"}),
     ("serve_v2_spec2_int8", "serve_v2",
      {"spec": "2", "int8": "1", "slots": "8"}),
-    # temperature sampling + speculative: rejection resampling keeps the
-    # token distribution exact (tests/test_spec_sampling.py)
+    # sampled serving A/B (VERDICT r4 item 4): the spec=0 row is the
+    # baseline; the spec=2 row runs the engine's adaptive probation
+    # (rejection-resampling verify stays distribution-exact,
+    # tests/test_spec_sampling.py) and must never fall below it — at
+    # random weights acceptance is ~0, so the controller should commit
+    # to the plain program ("spec_ab_choice": "alt")
+    ("serve_v1_sampled", "serve",
+     {"int8": "1", "temperature": "0.9", "top_p": "0.9", "top_k": "none"}),
     ("serve_v1_spec2_sampled", "serve",
      {"spec": "2", "int8": "1", "temperature": "0.9", "top_p": "0.9",
       "top_k": "none"}),

@@ -96,7 +96,10 @@ class ContinuousBatchingEngine:
                  eot_token: Optional[int] = None,
                  lookahead: int = 4,
                  max_tokens_per_step: int = 1,
-                 fused_admit_for: Optional[Callable[[int], Callable]] = None):
+                 fused_admit_for: Optional[Callable[[int], Callable]] = None,
+                 alt_decode_chunk: Optional[Callable] = None,
+                 alt_max_tokens_per_step: int = 1,
+                 probe_windows: int = 2):
         self.slots, self.cap, self.chunk = slots, cap, chunk
         self.lookahead = max(1, lookahead)
         self.max_tokens_per_step = max(1, max_tokens_per_step)
@@ -104,6 +107,20 @@ class ContinuousBatchingEngine:
         self._prefill_for = prefill_for
         self._prefill_cache: Dict[int, Callable] = {}
         self._decode_chunk = decode_chunk
+        # adaptive A/B between two decode programs (e.g. speculative vs
+        # plain under temperature sampling, where draft acceptance — and
+        # thus whether speculation pays — depends on the weights and the
+        # workload): measure each program's emitted-token throughput over
+        # ``probe_windows`` lookahead windows (skipping each phase's first
+        # window, which absorbs its compile), then commit to the winner
+        # for the rest of the run.  reset_ab() restarts probation.
+        self._alt_decode_chunk = alt_decode_chunk
+        self._alt_mts = max(1, alt_max_tokens_per_step)
+        self._probe_windows = max(1, probe_windows)
+        self.ab_choice: Optional[str] = None   # "primary" | "alt" when done
+        self._ab = None
+        if alt_decode_chunk is not None:
+            self.reset_ab()
         # fused admission (serving/fused_admit.py): prefill a new request
         # inside one decode step so admissions stop stalling decode lanes;
         # used whenever at least one lane is mid-decode, plain prefill
@@ -147,6 +164,47 @@ class ContinuousBatchingEngine:
         return finished
 
     # -- internals ----------------------------------------------------
+
+    def reset_ab(self) -> None:
+        """(Re)start decode-program probation (see __init__)."""
+        if self._alt_decode_chunk is None:
+            return
+        # phase 0/1: measure primary/alt; each phase skips its first
+        # window (compile) then accumulates (tokens, seconds) over
+        # probe_windows windows; phase 2: committed
+        self._ab = {"phase": 0, "skip": True, "left": self._probe_windows,
+                    "stats": [[0, 0.0], [0, 0.0]]}
+        self.ab_choice = None
+
+    def _ab_current(self):
+        """(decode_chunk, max_tokens_per_step) for this window."""
+        if self._ab is None or self._ab["phase"] == 0:
+            return self._decode_chunk, self.max_tokens_per_step
+        if self._ab["phase"] == 1:
+            return self._alt_decode_chunk, self._alt_mts
+        return ((self._decode_chunk, self.max_tokens_per_step)
+                if self.ab_choice == "primary"
+                else (self._alt_decode_chunk, self._alt_mts))
+
+    def _ab_record(self, emitted: int, seconds: float) -> None:
+        if self._ab is None or self._ab["phase"] >= 2:
+            return
+        st = self._ab
+        if st["skip"]:
+            st["skip"] = False
+            return
+        st["stats"][st["phase"]][0] += emitted
+        st["stats"][st["phase"]][1] += seconds
+        st["left"] -= 1
+        if st["left"] == 0:
+            if st["phase"] == 0:
+                st.update(phase=1, skip=True, left=self._probe_windows)
+                return
+            (t0, s0), (t1, s1) = st["stats"]
+            r0 = t0 / max(s0, 1e-9)
+            r1 = t1 / max(s1, 1e-9)
+            self.ab_choice = "primary" if r0 >= r1 else "alt"
+            st["phase"] = 2
 
     def _prefill(self, bucket: int) -> Callable:
         if bucket not in self._prefill_cache:
@@ -258,12 +316,14 @@ class ContinuousBatchingEngine:
         rem = [r.max_new_tokens - len(r.tokens) - int(self._unsynced[s])
                for s, r in enumerate(snapshot) if r is not None]
         self._unsynced[:] = 0
-        denom = self.chunk * self.max_tokens_per_step
-        if self.max_tokens_per_step == 1:
+        dec, mts = self._ab_current()
+        denom = self.chunk * mts
+        if mts == 1:
             n = max(1, min(self.lookahead, -(-max(1, min(rem)) // denom)))
         else:  # acceptance varies: floor = conservative window
             n = max(1, min(self.lookahead, max(1, min(rem)) // denom))
         toks_parts, nvalid_parts = [], []
+        t_window = time.perf_counter()
         # first dispatch uploads the host lengths (refills / idle-lane
         # pins); later window dispatches consume the device-returned lens
         # directly — slot state cannot change mid-window, so nothing
@@ -272,7 +332,7 @@ class ContinuousBatchingEngine:
         for i in range(n):
             key, k1 = jax.random.split(key)
             (self.cache_k, self.cache_v, lens, cur, _, toks,
-             nvalid) = self._decode_chunk(
+             nvalid) = dec(
                 self.cache_k, self.cache_v, lens, self.cur_tok, k1)
             self.cur_tok = cur             # stays on device
             toks_parts.append(toks)
@@ -310,6 +370,7 @@ class ContinuousBatchingEngine:
                 if self._finish_check(r, now):
                     finished.append(r)
                     self.active[s] = None
+        emitted = 0
         for s in range(self.slots):
             r = snapshot[s]
             if r is None or r.done:
@@ -317,6 +378,7 @@ class ContinuousBatchingEngine:
             for c in range(toks_h.shape[0]):
                 for t in toks_h[c, s, :nvalid_h[c, s]]:
                     r.tokens.append(int(t))
+                    emitted += 1
                     if self._finish_check(r, now):
                         break
                 if r.done:
@@ -324,6 +386,7 @@ class ContinuousBatchingEngine:
             if r.done:
                 finished.append(r)
                 self.active[s] = None
+        self._ab_record(emitted, now - t_window)
         return key
 
 
@@ -342,7 +405,8 @@ class ShowoMMUServer:
                  speculative_k: int = 0,
                  spec_chunk_local: bool = True,
                  fused_admit: Optional[bool] = None,
-                 kv_int8: bool = False):
+                 kv_int8: bool = False,
+                 spec_adaptive: bool = True):
         from showo_tpu.models.phi import KVCache
         from showo_tpu.models.showo import showo_forward
         from showo_tpu.ops.masks import omni_mask_mmu
@@ -405,6 +469,7 @@ class ShowoMMUServer:
         decode_wrapper = build_v1_decode_chunk(
             self, cfg, dtype=dtype, cap=cap, chunk=chunk,
             temperature=temperature, top_k=top_k, top_p=top_p, slots=slots)
+        alt_decode = None
         if speculative_k:
             # prompt-lookup speculative decoding (speculative.py): greedy
             # (top_k=1) is token-exact vs plain greedy decode; any other
@@ -412,6 +477,14 @@ class ShowoMMUServer:
             # distribution-exact
             from showo_tpu.serving.speculative import build_v1_speculative
 
+            # under temperature sampling, point-mass drafts only pay off
+            # when acceptance is high (weights/workload dependent): keep
+            # the plain chunk program as the A/B alternative and let the
+            # engine commit to whichever measures faster (never-regress
+            # guarantee — both sample the same filtered distribution)
+            greedy = top_k == 1 and (top_p is None or top_p >= 1.0)
+            if spec_adaptive and not greedy:
+                alt_decode = decode_wrapper
             self.buf = jnp.zeros((slots, cap), jnp.int32)
             make_prefill, decode_wrapper = build_v1_speculative(
                 self, cfg, dtype=dtype, eoi=eoi, cap=cap, chunk=chunk,
@@ -464,7 +537,8 @@ class ShowoMMUServer:
             init_cache=init_cache, buckets=buckets, eot_token=eot_token,
             lookahead=lookahead,
             max_tokens_per_step=1 + speculative_k,
-            fused_admit_for=fused_for)
+            fused_admit_for=fused_for,
+            alt_decode_chunk=alt_decode)
 
     def submit(self, prompt, max_new_tokens):
         return self.engine.submit(prompt, max_new_tokens)
@@ -492,7 +566,8 @@ class Showo2MMUServer:
                  speculative_k: int = 0,
                  spec_chunk_local: bool = True,
                  fused_admit: Optional[bool] = None,
-                 kv_int8: bool = False):
+                 kv_int8: bool = False,
+                 spec_adaptive: bool = True):
         from showo_tpu.sampling.ar import _sample_logits
         from showo_tpu.show_o2.masks import omni_attn_mask
         from showo_tpu.show_o2.qwen2 import Qwen2KVCache, qwen2_forward
@@ -552,11 +627,17 @@ class Showo2MMUServer:
             temperature=temperature, top_k=top_k, top_p=top_p)
         self._spec = speculative_k
         self._cap = cap
+        alt_decode = None
         if speculative_k:
             # greedy (top_k=1) verify is token-exact; sampling configs use
             # rejection resampling (distribution-exact) — see speculative.py
             from showo_tpu.serving.speculative import build_v2_speculative
 
+            # A/B the plain program under temperature sampling (see the
+            # v1 comment): the engine commits to the measured winner
+            greedy = top_k == 1 and (top_p is None or top_p >= 1.0)
+            if spec_adaptive and not greedy:
+                alt_decode = decode_wrapper
             self.buf = jnp.zeros((slots, cap), jnp.int32)
             make_prefill, decode_wrapper = build_v2_speculative(
                 self, cfg, dtype=dtype, n_img=n_img, cap=cap, chunk=chunk,
@@ -600,7 +681,8 @@ class Showo2MMUServer:
             init_cache=init_cache, buckets=buckets, eot_token=eos_token,
             lookahead=lookahead,
             max_tokens_per_step=1 + speculative_k,
-            fused_admit_for=fused_for)
+            fused_admit_for=fused_for,
+            alt_decode_chunk=alt_decode)
 
     def submit(self, input_embeds, img_start: int, max_new_tokens: int,
                lookup_ids=None):

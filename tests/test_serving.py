@@ -190,6 +190,37 @@ def test_speculative_engine_token_exact(params):
     assert server.engine.stat_steps > 0
 
 
+def test_spec_adaptive_ab_commits_and_completes(params):
+    """Under temperature sampling the engine A/B-probes the speculative
+    vs plain decode programs (both sample the same filtered
+    distribution) and commits to the measured winner; every request
+    still completes with its full budget regardless of which program
+    ran each window."""
+    rng = np.random.default_rng(23)
+    reqs = [(_prompt(rng, q), b)
+            for q, b in [(6, 40), (3, 50), (8, 45), (4, 60)]]
+    server = ShowoMMUServer(CFG, params, slots=2, cap=160, chunk=3,
+                            buckets=(16, 24), temperature=0.9,
+                            top_k=None, top_p=0.9, speculative_k=2)
+    assert server.engine._alt_decode_chunk is not None
+    handles = [server.submit(p, b) for p, b in reqs]
+    done = server.run(jax.random.PRNGKey(41))
+    assert len(done) == len(reqs)
+    for h, (_, budget) in zip(handles, reqs):
+        assert h.done and len(h.tokens) == budget
+    # enough windows ran to finish probation on this workload
+    assert server.engine.ab_choice in ("primary", "alt")
+
+
+def test_spec_adaptive_not_built_for_greedy(params):
+    """Greedy spec is token-exact and always a win — no A/B machinery."""
+    server = ShowoMMUServer(CFG, params, slots=2, cap=64, chunk=3,
+                            buckets=(16, 24), temperature=1.0, top_k=1,
+                            speculative_k=2)
+    assert server.engine._alt_decode_chunk is None
+    assert server.engine.ab_choice is None
+
+
 def test_speculative_v2_token_exact(params_v2):
     """v2 speculative decoding (embeds prompts, -1-masked token ring
     seeded by lookup_ids) stays token-exact vs plain greedy."""
