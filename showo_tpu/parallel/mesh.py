@@ -22,6 +22,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def constrain(x, *spec):
+    """``with_sharding_constraint(x, P(*spec))`` iff an ambient mesh (via
+    ``jax.set_mesh``) carries every axis named in ``spec``; identity on
+    single-chip paths.  Lets model code pin internal shardings (e.g. the
+    CE loss's logits) without threading mesh objects through."""
+    mesh = jax.sharding.get_abstract_mesh()
+    names = set(getattr(mesh, "axis_names", ()) or ())
+
+    def ok(e):
+        parts = e if isinstance(e, tuple) else (e,)
+        return e is None or all(p in names for p in parts)
+
+    if not names or not all(ok(e) for e in spec):
+        return x
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def make_mesh(dp: Optional[int] = None, fsdp: int = 1, tp: int = 1,
               devices=None) -> Mesh:
     """Create a ("dp", "fsdp", "tp") mesh. dp=None fills all devices."""

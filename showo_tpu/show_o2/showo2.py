@@ -200,10 +200,28 @@ def unpatchify_v(cfg: Showo2Config, v: jnp.ndarray, h_: int, w_: int,
 
 
 def next_token_prediction_loss(logits, labels, vocab_size):
-    """misc.py:11-13."""
-    from showo_tpu.models.showo import cross_entropy_ignore
+    """misc.py:11-13.
 
-    return cross_entropy_ignore(logits[:, :-1], labels[:, 1:])
+    Formulated as CE over the FULL logits with left-shifted labels (last
+    position ignored) rather than ``logits[:, :-1]`` vs ``labels[:, 1:]``
+    — numerically identical (same valid set, same denominator), but the
+    slice's backward is a pad on the [B, L, V] cotangent that the SPMD
+    partitioner cannot reshard between the batch-sharded loss and the
+    vocab-sharded lm_head transpose without an involuntary full
+    rematerialization (observed on the dp/fsdp/tp dryrun mesh); shifting
+    the (non-differentiated) labels instead leaves no pad in the
+    backward at all."""
+    from showo_tpu.models.showo import cross_entropy_ignore
+    from showo_tpu.parallel.mesh import constrain
+
+    # pin the CE input to the lm_head output's natural sharding (batch
+    # over dp, vocab over fsdp/tp) so the backward cotangent already
+    # matches the lm_head transpose — without this the partitioner
+    # resolves the conflict by replicating the [B, L, V] cotangent
+    logits = constrain(logits, "dp", None, ("fsdp", "tp"))
+    shifted = jnp.concatenate(
+        [labels[:, 1:], jnp.full_like(labels[:, :1], -100)], axis=1)
+    return cross_entropy_ignore(logits, shifted)
 
 
 def velocity_prediction_loss(v_pred, labels, mask):
