@@ -479,3 +479,38 @@ def _attn_into(tree: dict, flax_name: str, sd: Mapping, torch_name: str) -> None
     for p in ("q", "k", "v", "proj_out"):
         _conv_into(sub, p, sd, f"{torch_name}.{p}")
     tree[flax_name] = sub
+
+
+# ---------------------------------------------------------------------------
+# Full-size value-map fingerprinting (import-wiring regression gate)
+# ---------------------------------------------------------------------------
+
+def value_map_fingerprint(import_fn: Callable[[Mapping], dict],
+                          manifest: Mapping[str, tuple]) -> Dict[str, Dict[str, int]]:
+    """Run ``import_fn`` on a synthetic state dict where every tensor is
+    filled with its key's 1-based ordinal (sorted key order), then record,
+    per imported leaf, the multiset {source ordinal -> element count}.
+
+    This fingerprints the full key->leaf VALUE WIRING at real checkpoint
+    scale: a swapped same-shape source (q/k mixed up), a wrong slice
+    boundary in a fused-qkv split, or a dropped/duplicated row changes
+    the counts.  Ordinals stay exact in float16 (<= 2048), and broadcast
+    views keep the synthetic dict itself memory-free.  Complements the
+    tiny-dim golden tests (which verify numerics through the real torch
+    reference) and the shape manifests (tests/test_import_manifests.py).
+    """
+    import jax
+
+    keys = sorted(manifest)
+    assert len(keys) < 2040, "ordinals must stay exact in float16"
+    sd = {k: np.broadcast_to(np.float16(i + 1), tuple(manifest[k]))
+          for i, k in enumerate(keys)}
+    params = import_fn(sd)
+    out: Dict[str, Dict[str, int]] = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        flat = np.asarray(leaf).ravel().astype(np.int32)
+        counts = np.bincount(flat, minlength=len(keys) + 1)
+        nz = np.nonzero(counts)[0]
+        out[name] = {str(int(i)): int(counts[i]) for i in nz}
+    return out
