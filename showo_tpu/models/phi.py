@@ -528,45 +528,13 @@ def phi_forward(
         base_layer = _ft.partial(base_layer, static_prefix=True)
     if attn_impl is not None:
         base_layer = _ft.partial(base_layer, attn_impl=attn_impl)
-    # remat: False/"none" = no rematerialization; True/"full" = recompute
-    # the whole layer on backward; "dots" = save matmul outputs and
-    # recompute only norms/elementwise (less recompute, more memory)
-    if remat in (False, "none", None):
-        layer_fn = base_layer
-    elif remat == "dots":
-        layer_fn = jax.checkpoint(
-            base_layer, static_argnums=(0,),
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
-    elif remat == "qkv":
-        # save only the q/k/v projections (~138 MB/layer at the recipe
-        # batch): backward recomputes ln + fc1 + dense + attention, NOT
-        # the qkv matmul — between "full" (all 4 matmuls recomputed) and
-        # "dots" (fc1 saved too, OOMs); see _layer's checkpoint_name tags
-        layer_fn = jax.checkpoint(
-            base_layer, static_argnums=(0,),
-            policy=jax.checkpoint_policies.save_only_these_names("qkv_out"))
-    elif remat == "qkv_fc1":
-        layer_fn = jax.checkpoint(
-            base_layer, static_argnums=(0,),
-            policy=jax.checkpoint_policies.save_only_these_names(
-                "qkv_out", "fc1_out"))
-    elif remat == "qkv_attn":
-        # + attention output: backward recomputes ln/fc1/gelu/dense but
-        # NOT the S x S attention (saved post-attention [B,S,D] rows)
-        layer_fn = jax.checkpoint(
-            base_layer, static_argnums=(0,),
-            policy=jax.checkpoint_policies.save_only_these_names(
-                "qkv_out", "attn_out"))
-    elif remat == "qkv_fc1_attn":
-        # near-remat-free: all four matmul outputs saved; backward
-        # recomputes only norms/elementwise + the S x S attention
-        # internals (~3% of layer FLOPs at the recipe S=387)
-        layer_fn = jax.checkpoint(
-            base_layer, static_argnums=(0,),
-            policy=jax.checkpoint_policies.save_only_these_names(
-                "qkv_out", "fc1_out", "attn_out"))
-    else:
-        layer_fn = jax.checkpoint(base_layer, static_argnums=(0,))
+    # remat ladder (utils/remat.py, shared with the v2 towers): "full"
+    # recomputes the whole layer, "dots"/"qkv"/"qkv_fc1"/"qkv_attn"/
+    # "qkv_fc1_attn" save progressively more tagged matmul outputs (see
+    # _layer's checkpoint_name tags); prevent_cse=False under the scan
+    from showo_tpu.utils.remat import wrap_remat
+
+    layer_fn = wrap_remat(base_layer, remat, static_argnums=(0,))
 
     if cache is not None and static_prefix_len is not None:
         # decode against a constant prefix (no cache writes; see _layer).

@@ -14,38 +14,42 @@ the v2 towers (show_o2/qwen2.py, show_o2/dit.py) the same ladder:
 
 The named policies rest on jax.ad_checkpoint.checkpoint_name tags placed
 at the projection outputs inside each layer body.
+
+prevent_cse=False throughout: every wrap site here is a layer body under
+``lax.scan``, where CSE between the forward and the recompute cannot
+happen across the scan boundary (the jax.checkpoint docstring blesses
+exactly this).  The default prevent_cse=True wraps the recompute in
+optimization barriers that both slow the compiled step AND blow up
+XLA compile memory/time — the r4 "qkv_attn crashes the remote compile
+service / qkv+adafactor exceeds the 900 s compile budget" failures.
 """
+
+import functools
 
 import jax
 
 
 def wrap_remat(fn, remat, static_argnums=(0,)):
+    ckpt = functools.partial(jax.checkpoint, fn, prevent_cse=False,
+                             static_argnums=static_argnums)
     if remat in (False, "none", None):
         return fn
     if remat == "dots":
-        return jax.checkpoint(
-            fn, static_argnums=static_argnums,
+        return ckpt(
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     if remat == "qkv":
-        return jax.checkpoint(
-            fn, static_argnums=static_argnums,
+        return ckpt(
             policy=jax.checkpoint_policies.save_only_these_names("qkv_out"))
     if remat == "qkv_fc1":
-        return jax.checkpoint(
-            fn, static_argnums=static_argnums,
-            policy=jax.checkpoint_policies.save_only_these_names(
-                "qkv_out", "fc1_out"))
+        return ckpt(policy=jax.checkpoint_policies.save_only_these_names(
+            "qkv_out", "fc1_out"))
     if remat == "qkv_attn":
-        return jax.checkpoint(
-            fn, static_argnums=static_argnums,
-            policy=jax.checkpoint_policies.save_only_these_names(
-                "qkv_out", "attn_out"))
+        return ckpt(policy=jax.checkpoint_policies.save_only_these_names(
+            "qkv_out", "attn_out"))
     if remat == "qkv_fc1_attn":
         # near-remat-free: matmul outputs saved, backward recomputes
         # only norms/elementwise + the S x S attention internals
-        return jax.checkpoint(
-            fn, static_argnums=static_argnums,
-            policy=jax.checkpoint_policies.save_only_these_names(
-                "qkv_out", "fc1_out", "attn_out"))
+        return ckpt(policy=jax.checkpoint_policies.save_only_these_names(
+            "qkv_out", "fc1_out", "attn_out"))
     # True / "full"
-    return jax.checkpoint(fn, static_argnums=static_argnums)
+    return ckpt()
