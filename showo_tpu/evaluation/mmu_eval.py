@@ -46,10 +46,16 @@ def score_predictions(items) -> dict:
 def run_mmu_eval(pipeline, eval_jsonl: str, image_root: str, outdir: str,
                  seed: int = 0, device_id: Optional[int] = None,
                  num_devices: Optional[int] = None,
-                 max_items: Optional[int] = None) -> dict:
+                 max_items: Optional[int] = None,
+                 benchmark: Optional[str] = None) -> dict:
     """pipeline: object with .answer(image_nhwc, question, key) -> token ids
     and .decode(tokens) -> str (MMUPipeline / MMUV2Pipeline shape).
-    Writes predictions.jsonl + metrics.json under ``outdir``."""
+    Writes predictions.jsonl + metrics.json under ``outdir``.
+
+    benchmark: None (generic exact/substring scoring) or one of
+    "mme" | "pope" | "gqa" | "mmmu" — scores with that benchmark's
+    published protocol (evaluation/lmms_benchmarks.py); items then carry
+    the benchmark's extra fields (category/options/...) through."""
     from PIL import Image
 
     from showo_tpu.utils.image import image_transform
@@ -75,14 +81,66 @@ def run_mmu_eval(pipeline, eval_jsonl: str, image_root: str, outdir: str,
         key, k = jax.random.split(key)
         toks = pipeline.answer(img, it["question"], k)
         text = pipeline.decode(toks) if hasattr(pipeline, "decode") else str(toks)
-        preds.append({"image": it["image"], "question": it["question"],
-                      "answer": it.get("answer", ""), "prediction": text})
+        preds.append(dict(it, prediction=text,
+                          answer=it.get("answer", "")))
 
     with open(os.path.join(outdir, f"predictions_{device_id}.jsonl"), "w") as f:
         for p in preds:
             f.write(json.dumps(p) + "\n")
-    metrics = score_predictions([p for p in preds if p["answer"]])
+    scored = [p for p in preds if p["answer"]]
+    if benchmark:
+        from showo_tpu.evaluation.lmms_benchmarks import score_benchmark
+
+        metrics = score_benchmark(benchmark, scored)
+    else:
+        metrics = score_predictions(scored)
     with open(os.path.join(outdir, f"metrics_{device_id}.json"), "w") as f:
         json.dump(metrics, f)
     logger.info("mmu eval shard %d: %s", device_id, metrics)
     return metrics
+
+
+def main() -> None:
+    """CLI: sweep an eval jsonl through the MMU pipeline and score it.
+
+        python -m showo_tpu.evaluation.mmu_eval \\
+            config=configs/showo2_1.5b_demo_432x432.yaml v2=1 \\
+            eval_jsonl=questions.jsonl image_root=./images outdir=out \\
+            [benchmark=mme|pope|gqa|mmmu] [max_items=N]
+
+    v2=1 uses the Show-o2 pipeline; default is v1 Show-o.  Multi-host
+    runs shard items by jax.process_index (same scheme as geneval).
+    """
+    from showo_tpu.config import get_config
+
+    config = get_config()
+    if bool(int(config.get("v2", 0))):
+        from showo_tpu.inference_mmu_v2 import load_models
+        from showo_tpu.inference_t2i_v2 import (build_showo2_config,
+                                                load_tokenizer_and_ids)
+        from showo_tpu.pipelines.mmu_v2 import MMUV2Pipeline
+
+        cfg = build_showo2_config(config)
+        params, vae_cfg, vae_params = load_models(config, cfg)
+        tokenizer, token_ids = load_tokenizer_and_ids(config)
+        pipe = MMUV2Pipeline(
+            cfg=cfg, params=params, vae_cfg=vae_cfg, vae_params=vae_params,
+            tokenizer=tokenizer, token_ids=token_ids,
+            max_new_tokens=int(config.get("max_new_tokens", 100)),
+            top_k=int(config.get("top_k", 1)))
+    else:
+        from showo_tpu.inference_mmu import build_pipeline
+
+        pipe = build_pipeline(config)
+    metrics = run_mmu_eval(
+        pipe, str(config["eval_jsonl"]), str(config["image_root"]),
+        str(config.get("outdir", "mmu_eval_out")),
+        seed=int(config.get("seed", 0)),
+        max_items=(int(config["max_items"]) if "max_items" in config
+                   else None),
+        benchmark=config.get("benchmark"))
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,21 +27,28 @@ from showo_tpu.utils.logging import get_logger
 logger = get_logger(__name__)
 
 
-def main() -> None:
-    config = get_config()
+def build_pipeline(config) -> MMUPipeline:
+    """Construct the v1 MMU pipeline from a config (shared by this CLI
+    and the eval sweep, evaluation/mmu_eval.py)."""
     cfg = build_showo_config(config)
     params = load_params(config, cfg)
     vq_cfg, vq_params = load_vq(config)
     tokenizer = load_tokenizer(config)
     uni = UniversalPrompting(
         tokenizer, max_text_len=config.dataset.preprocessing.max_seq_length)
+    return MMUPipeline(
+        cfg=cfg, params=params, vq_cfg=vq_cfg,
+        vq_params=vq_params, uni_prompting=uni,
+        max_new_tokens=int(config.get("max_new_tokens", 100)),
+        top_k=int(config.get("top_k", 1)),
+        top_p=(float(config["top_p"]) if "top_p" in config else None),
+        quantize_int8=bool(int(config.get("int8", 0))))
 
-    pipe = MMUPipeline(cfg=cfg, params=params, vq_cfg=vq_cfg,
-                       vq_params=vq_params, uni_prompting=uni,
-                       max_new_tokens=int(config.get("max_new_tokens", 100)),
-                       top_k=int(config.get("top_k", 1)),
-                       top_p=(float(config["top_p"]) if "top_p" in config else None),
-                       quantize_int8=bool(int(config.get("int8", 0))))
+
+def main() -> None:
+    config = get_config()
+    pipe = build_pipeline(config)
+    cfg, uni = pipe.cfg, pipe.uni_prompting
 
     from showo_tpu.utils.image import clip_image_transform, image_transform
     from PIL import Image

@@ -66,6 +66,14 @@ class MMUPipeline:
 
         self._encode = _encode
 
+    def decode(self, toks) -> str:
+        """Token ids -> text (the eval sweep's prediction string)."""
+        try:
+            return self.uni_prompting.text_tokenizer.batch_decode(
+                [list(toks)], skip_special_tokens=True)[0]
+        except AttributeError:
+            return str(list(toks))
+
     def answer(self, image_nhwc: np.ndarray, question: str, key) -> List[int]:
         """Discrete path: [mmu][soi]img[eoi][sot]USER: ...ASSISTANT: ->
         sampled token ids up to eot."""

@@ -50,6 +50,19 @@ class MMUV2Pipeline:
             self.params = dict(self.params,
                                showo=jax.jit(_q8)(self.params["showo"]))
 
+    @property
+    def resolution(self) -> int:
+        """Input image resolution (the eval sweep's transform size)."""
+        return int(self.cfg.image_latent_height * 8)
+
+    def decode(self, toks) -> str:
+        """Token ids -> text (the eval sweep's prediction string)."""
+        try:
+            return self.tokenizer.decode(list(toks),
+                                         skip_special_tokens=True)
+        except (AttributeError, TypeError):
+            return str(list(toks))
+
     def _tok(self, text: str) -> List[int]:
         ids = self.tokenizer(text, add_special_tokens=False)["input_ids"]
         if ids and isinstance(ids[0], list):
