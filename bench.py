@@ -504,11 +504,26 @@ def bench_train_v2(args) -> dict:
     dHd, dKvd = dc.num_heads * dc.head_dim, dc.num_kv_heads * dc.head_dim
     dit_p = dc.num_layers * (dD * dHd + 2 * dD * dKvd + dHd * dD
                              + 3 * dD * dF + 7 * dD * dD)
+    # the und tower + embedders + fusion are part of the trained model's
+    # forward (showo2.embed_images), not preprocessing — count them
+    # (they backprop through even when siglip params are frozen).  729
+    # patch tokens per image; fusion/diff_proj apply per sequence row.
+    sg = cfg.siglip
+    sD, sF = sg.hidden_size, sg.intermediate_size
+    siglip_p = sg.num_layers * (4 * sD * sD + 2 * sD * sF)
+    n_patch = (cfg.image_latent_height // cfg.patch_size) ** 2
+    pc = cfg.patch_size ** 2 * cfg.image_latent_dim
+    embed_p = pc * (cfg.clip_latent_dim + D)
+    fusion_p = (cfg.clip_latent_dim + D) * D + D * D
+    aux_flops = 6 * (siglip_p + embed_p + fusion_p) * B * n_patch
+    dd = cfg.dit.hidden_size
+    if D != dd:   # diff_proj runs on every sequence row
+        aux_flops += 6 * (D * dd + dd * dd) * B * L
     # 6 x matmul-params x tokens = fwd+bwd USEFUL matmul FLOPs (standard
     # MFU accounting, same as metric=train for v1); remat recompute is
     # real hardware work but not counted — lighter remat= policies raise
     # this number by doing less recompute, as they should
-    tflops_step = 6 * (qwen_p + dit_p) * B * L / 1e12
+    tflops_step = (6 * (qwen_p + dit_p) * B * L + aux_flops) / 1e12
     return {
         "metric": "train_v2_stage1_samples_per_sec_per_chip",
         "value": round(B / dt, 3), "unit": "samples/s/chip",
