@@ -108,8 +108,16 @@ class T2VPipeline:
 
         impl = self.attn_impl
         if impl == "auto":
-            impl = ("pallas_packed" if self.num_video_tokens >= 512
-                    else "dense")
+            # packed holds the full KV in VMEM (fastest, but Sp*KVD must
+            # fit the ~16 MB scoped-vmem stack: Sp <= ~3k at KVD=512);
+            # the online-softmax streaming kernel has no S ceiling and
+            # beat dense 30x at S=8192 (STATUS.md streaming table)
+            if self.num_video_tokens < 512:
+                impl = "dense"
+            elif text.shape[1] <= 2816:
+                impl = "pallas_packed"
+            else:
+                impl = "pallas_streaming"
         bias, attn_meta = None, None
         if impl.startswith("pallas"):
             from showo_tpu.ops.flash_attention import \

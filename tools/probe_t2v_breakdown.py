@@ -38,7 +38,7 @@ def bench(fn, *args, iters=3):
 
 def main():
     args = dict(a.split("=", 1) for a in sys.argv[1:])
-    T = int(args.get("latent_frames", 5))
+    T = int(args.get("latent_frames", 2))  # 2 = the suite t2v shape
     iters = int(args.get("iters", 3))
 
     from showo_tpu.ops.flash_attention import seg_from_modality_positions
@@ -67,7 +67,9 @@ def main():
     text = jnp.asarray(rng.integers(10, 150000, size=(B, L)), jnp.int32)
     mp = jnp.tile(jnp.array([[[off, n_vid]]], jnp.int32), (B, 1, 1))
     seg = seg_from_modality_positions(mp, L)
-    meta = ("pallas_packed", seg, jnp.zeros((B, L), jnp.int32),
+    impl = args.get("attn", "pallas_packed" if L <= 2816
+                    else "pallas_streaming")
+    meta = (impl, seg, jnp.zeros((B, L), jnp.int32),
             jnp.full((B,), -1, jnp.int32), jnp.zeros((B,), jnp.int32))
     z = jax.random.normal(jax.random.PRNGKey(2),
                           (B, cfg.image_latent_dim, T,

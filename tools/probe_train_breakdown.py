@@ -155,6 +155,7 @@ def main():
         ms_small = bench(smallfwd, p_small, iters=iters)
         print(f"fwd, 128-col head:   {ms_small:8.1f} ms   (vocab matmul = "
               f"{ms_sum - ms_small:.1f})")
+        del p_small   # ~2.6 GB device copy — freed before the grad probe
 
         # achievable matmul rate at the train forward's own shapes:
         # per layer x @ [D,3D] + a @ [D,D] + x @ [D,F] + m @ [F,D]

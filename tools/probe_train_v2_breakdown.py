@@ -95,10 +95,15 @@ def main():
     ms_emb = bench(emb, params, latents, iters=iters)
     print(f"embed_images fwd:    {ms_emb:8.1f} ms  (PatchEmbeds + SigLIP-26L"
           f" + fusion at {n_img - 1} tokens)")
+    # grad wrt the latents (argnums=1): same backward FLOPs through the
+    # tower without materializing a full 2.4B-param grad tree
     emb_g = jax.jit(jax.grad(lambda p, z: embed_images(
-        cfg, p, z, remat=remat).astype(jnp.float32).sum()))
-    ms_emb_g = bench(emb_g, params, latents, iters=iters)
-    print(f"embed_images grad:   {ms_emb_g:8.1f} ms")
+        cfg, p, z, remat=remat).astype(jnp.float32).sum(), argnums=1))
+    try:
+        ms_emb_g = bench(emb_g, params, latents, iters=iters)
+        print(f"embed_images grad:   {ms_emb_g:8.1f} ms")
+    except Exception as e:  # noqa: BLE001 — keep the rest of the probe
+        print(f"embed_images grad:   FAIL {str(e).splitlines()[0][:80]}")
 
     # --- loss fwd / grad (on fixed latents; xt = latents for timing)
     bias = omni_attn_mask(mp, L)
