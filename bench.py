@@ -351,6 +351,11 @@ def bench_train(args) -> dict:
         import dataclasses as _dc
 
         cfg = _dc.replace(cfg, llm=_dc.replace(cfg.llm, attn_fp32=False))
+    if "unroll" in args:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, llm=_dc.replace(
+            cfg.llm, scan_unroll=int(args["unroll"])))
     vq_cfg = VQConfig()
     tc = TrainConfig(max_seq_length=128,
                      attn_impl=args.get("attn_impl", "dense"),

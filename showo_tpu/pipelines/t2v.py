@@ -55,12 +55,76 @@ class T2VPipeline:
 
             self.params = fuse_inference(self.params)
 
+        # jit once (cached by shape across generate() calls): without
+        # this, every call re-traced the 38-layer euler scan AND the
+        # full video VAE decode — ~22 s of host tracing per video vs
+        # ~3 s of device work (the round-5 t2v roofline finding)
+        from showo_tpu.show_o2.transport import ode_timegrid
+
+        grid = ode_timegrid(self.num_steps,
+                            time_shifting_factor=self.time_shifting_factor)
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=(4,))
+        def _denoise(params, z, text, mp_r, i2v):
+            L = text.shape[1]
+            impl = self._pick_impl(L)
+            bias, attn_meta = None, None
+            if impl.startswith("pallas"):
+                from showo_tpu.ops.flash_attention import \
+                    seg_from_modality_positions
+
+                Bc = text.shape[0]
+                seg = seg_from_modality_positions(mp_r, L)
+                attn_meta = (impl, seg, jnp.zeros((Bc, L), jnp.int32),
+                             jnp.full((Bc,), -1, jnp.int32),
+                             jnp.zeros((Bc,), jnp.int32))
+            else:
+                bias = omni_attn_mask(mp_r, L)
+
+            def drift(x, t):
+                return showo2_t2i_velocity(
+                    self.cfg, params, text, x, t, bias, mp_r,
+                    guidance_scale=self.guidance_scale,
+                    first_frame_as_cond=i2v,
+                    num_frames=self.num_latent_frames,
+                    attn_meta=attn_meta)
+
+            return sample_ode_euler(drift, z, grid)
+
+        @jax.jit
+        def _decode_full(vae_params, z):
+            return wan_decode(self.vae_cfg, vae_params, z)
+
+        @jax.jit
+        def _decode_streaming(vae_params, z):
+            from showo_tpu.show_o2.wan_vae import wan_decode_streaming
+
+            return wan_decode_streaming(self.vae_cfg, vae_params, z)
+
+        self._denoise = _denoise
+        self._decode_full = _decode_full
+        self._decode_streaming = _decode_streaming
+
     @property
     def num_video_tokens(self) -> int:
         per = ((self.cfg.image_latent_height // self.cfg.patch_size)
                * (self.cfg.image_latent_width // self.cfg.patch_size))
         return (self.num_latent_frames * per
                 + (1 if self.cfg.add_time_embeds else 0))
+
+    def _pick_impl(self, L: int) -> str:
+        impl = self.attn_impl
+        if impl != "auto":
+            return impl
+        # packed holds the full KV in VMEM (fastest, but Sp*KVD must fit
+        # the ~16 MB scoped-vmem stack: Sp <= ~3k at KVD=512); the
+        # online-softmax streaming kernel has no S ceiling and beat
+        # dense 30x at S=8192 (STATUS.md streaming table)
+        if self.num_video_tokens < 512:
+            return "dense"
+        return "pallas_packed" if L <= 2816 else "pallas_streaming"
 
     def generate(self, prompts: Sequence[str], key,
                  first_frame_nhwc: Optional[np.ndarray] = None) -> np.ndarray:
@@ -106,48 +170,11 @@ class T2VPipeline:
         L = min(text.shape[1], (span_end + 127) // 128 * 128)
         text = text[:, :L]
 
-        impl = self.attn_impl
-        if impl == "auto":
-            # packed holds the full KV in VMEM (fastest, but Sp*KVD must
-            # fit the ~16 MB scoped-vmem stack: Sp <= ~3k at KVD=512);
-            # the online-softmax streaming kernel has no S ceiling and
-            # beat dense 30x at S=8192 (STATUS.md streaming table)
-            if self.num_video_tokens < 512:
-                impl = "dense"
-            elif text.shape[1] <= 2816:
-                impl = "pallas_packed"
-            else:
-                impl = "pallas_streaming"
-        bias, attn_meta = None, None
-        if impl.startswith("pallas"):
-            from showo_tpu.ops.flash_attention import \
-                seg_from_modality_positions
-
-            Bc = text.shape[0]
-            seg = seg_from_modality_positions(mp_r, L)
-            attn_meta = (impl, seg, jnp.zeros((Bc, L), jnp.int32),
-                         jnp.full((Bc,), -1, jnp.int32),
-                         jnp.zeros((Bc,), jnp.int32))
-        else:
-            bias = omni_attn_mask(mp_r, L)
-
-        def drift(x, t):
-            return showo2_t2i_velocity(
-                cfg, self.params, text, x, t, bias, mp_r,
-                guidance_scale=self.guidance_scale,
-                first_frame_as_cond=i2v, num_frames=T,
-                attn_meta=attn_meta)
-
-        grid = ode_timegrid(self.num_steps,
-                            time_shifting_factor=self.time_shifting_factor)
-        out = sample_ode_euler(drift, z, grid)[:B]
+        out = self._denoise(self.params, z, jnp.asarray(text), mp_r,
+                            i2v)[:B]
         streaming = (self.vae_mode == "streaming"
                      or (self.vae_mode == "auto"
                          and T >= self.vae_streaming_min_frames))
-        if streaming:
-            from showo_tpu.show_o2.wan_vae import wan_decode_streaming
-
-            videos = wan_decode_streaming(self.vae_cfg, self.vae_params, out)
-        else:
-            videos = wan_decode(self.vae_cfg, self.vae_params, out)
+        dec = self._decode_streaming if streaming else self._decode_full
+        videos = dec(self.vae_params, out)
         return np.asarray(jnp.transpose(videos, (0, 2, 3, 4, 1)))

@@ -60,13 +60,11 @@ def main():
     opt = make_optimizer(tc)
     key = jax.random.PRNGKey(0)
     params = jax.jit(lambda k: init_showo_params(cfg, k, dtype=jnp.bfloat16))(key)
-    state = TrainState(params, jax.jit(opt.init)(params),
-                       jnp.zeros((), jnp.int32))
     vq = MagvitV2(vq_cfg)
     vq_params = jax.jit(lambda k: jax.tree.map(
         lambda x: x.astype(jnp.bfloat16),
         vq.init(k, jnp.zeros((1, res, res, 3)))["params"]))(jax.random.PRNGKey(1))
-    jax.block_until_ready((state.params, vq_params))
+    jax.block_until_ready((params, vq_params))
 
     L_text = tc.max_seq_length + 1
     lm_L = L_text + cfg.num_vq_tokens + 2
@@ -127,7 +125,7 @@ def main():
         return l_t2i + 0.1 * l_lm + l_mmu, (l_t2i, l_lm, l_mmu)
 
     fwd = jax.jit(lambda p: loss_fn(p)[0])
-    ms_fwd = bench(fwd, state.params, iters=iters)
+    ms_fwd = bench(fwd, params, iters=iters)
     print(f"loss fwd only:       {ms_fwd:8.1f} ms")
 
     if args.get("ablate", "0") != "0":
@@ -137,17 +135,17 @@ def main():
         sumfwd = jax.jit(lambda p: showo_forward(
             cfg, p, input_ids=ids, attention_bias=bias,
             attn_meta=attn_meta)[0].astype(jnp.float32).sum())
-        ms_sum = bench(sumfwd, state.params, iters=iters)
+        ms_sum = bench(sumfwd, params, iters=iters)
         print(f"fwd, sum(logits):    {ms_sum:8.1f} ms   (CE cost = "
               f"{ms_fwd - ms_sum:.1f})")
 
         # forward with a 128-col lm_head (vocab matmul + CE removed)
         import copy
-        p_small = dict(state.params,
-                       showo=dict(state.params["showo"],
-                                  lm_head={"kernel": state.params["showo"][
+        p_small = dict(params,
+                       showo=dict(params["showo"],
+                                  lm_head={"kernel": params["showo"][
                                       "lm_head"]["kernel"][:, :128],
-                                      "bias": state.params["showo"][
+                                      "bias": params["showo"][
                                       "lm_head"]["bias"][:128]}))
         smallfwd = jax.jit(lambda p: showo_forward(
             cfg, p, input_ids=ids, attention_bias=bias,
@@ -186,7 +184,7 @@ def main():
     grad = jax.jit(lambda p: jax.value_and_grad(
         lambda q: loss_fn(q)[0])(p)[1])
     try:
-        ms_grad = bench(grad, state.params, iters=iters)
+        ms_grad = bench(grad, params, iters=iters)
         print(f"value_and_grad:      {ms_grad:8.1f} ms   (bwd+remat = "
               f"{ms_grad - ms_fwd:.1f})")
     except Exception as e:  # noqa: BLE001
@@ -201,6 +199,10 @@ def main():
         return step_fn(state, vq_params, t2i_pixels, t2i_text, lm_ids,
                        lm_labels, mmu_pixels, mmu_text, mmu_labels, key)
 
+    # optimizer state only now — bf16 AdamW moments are 5.2 GB and must
+    # not sit live during the grad probes above
+    state = TrainState(params, jax.jit(opt.init)(params),
+                       jnp.zeros((), jnp.int32))
     state2, m = run(state, jax.random.PRNGKey(2))
     float(m["loss"])
     t0 = time.perf_counter()
