@@ -456,6 +456,14 @@ def bench_train_v2(args) -> dict:
     opt_name = args.get("opt", "adafactor")
 
     cfg = Showo2Config()
+    if args.get("softmax", "fp32") == "bf16":
+        # throughput mode: bf16 scores halve dense [B,H,S,S] traffic in
+        # BOTH towers (parity default fp32 — the reference upcasts)
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg, llm=_dc.replace(cfg.llm, attn_fp32=False),
+            dit=_dc.replace(cfg.dit, attn_fp32=False))
     vae_cfg = WanVAEConfig()
     sc = Stage1Config(optimizer=opt_name,
                       attn_impl=args.get("attn_impl", "dense"),
@@ -924,13 +932,19 @@ SUITE = [
     ("t2i_v2_euler50", "t2i_v2", {}),
     ("t2i_v2_dpm20", "t2i_v2", {"sampler": "dpm", "steps": "20"}),
     ("t2v", "t2v", {}),
-    # remat=full/adamw is the only config that compiles AND fits on the
-    # real 16 GB chip at the recipe batch: remat=qkv adamw OOMs,
-    # qkv_attn/qkv_fc1_attn crash the TPU compile helper, qkv+adafactor
-    # exceeds a 900 s compile budget (r4 ladder, STATUS.md) — the named
-    # rungs stay for v2 stage-1 (where they are what makes 16 GB fit)
+    # long-clip video: 9 latent = 33 pixel frames, chunked-streaming VAE
+    # decode (constant memory in T) + streaming attention at S=6784
+    ("t2v_long", "t2v", {"latent_frames": "9"}),
+    # r5: prevent_cse=False un-broke the named-rung compiles (the r4
+    # "crash the TPU compile helper" was optimization-barrier compile
+    # blowup).  v1 at the recipe batch still can't afford the saved
+    # activations + AdamW moments on 16 GB (qkv_fc1_attn measured
+    # RESOURCE_EXHAUSTED), so train_v1 stays remat=full/adamw; v2
+    # stage-1 now runs batch=2 with qkv_fc1_attn + adafactor
+    # (4.128 -> 5.30 samples/s, 32% MFU).
     ("train_v1", "train", {}),
-    ("train_v2", "train_v2", {}),
+    ("train_v2", "train_v2",
+     {"remat": "qkv_fc1_attn", "batch": "2"}),
 ]
 
 

@@ -130,15 +130,21 @@ def _attention(q, k, v, bias, attn_meta=None, q_positions=None,
 
             return decode_attention(q, k, v, bias)
         if impl == "pallas_trainable":
-            # differentiable flash kernel (custom VJP): the training-path
-            # attention — no S x S scores in HBM on forward OR backward
-            from showo_tpu.ops.streaming_attention_grad import \
-                omni_attention_trainable
+            # differentiable flash kernels (custom VJP): the training-path
+            # attention — no S x S scores in HBM on forward OR backward.
+            # Small/medium S uses the packed plan (one program per row
+            # block, mask computed once, head loop); long S falls back to
+            # the K-blocked streaming kernels inside the dispatcher.
+            from showo_tpu.ops.packed_attention_grad import \
+                omni_attention_packed_trainable
 
-            out = omni_attention_trainable(
-                jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
-                jnp.swapaxes(v, 1, 2), seg, pad, last_pad, prefix)
-            return jnp.swapaxes(out, 1, 2)
+            B_, S_, H_, Dh_ = q.shape
+            out = omni_attention_packed_trainable(
+                q.reshape(B_, S_, H_ * Dh_),
+                k.reshape(B_, k.shape[1], H_ * Dh_),
+                v.reshape(B_, v.shape[1], H_ * Dh_),
+                seg, pad, last_pad, prefix, num_heads=H_)
+            return out.reshape(B_, S_, H_, Dh_)
         if impl == "pallas_streaming":
             # online-softmax K-blocked kernel: no VMEM ceiling on S
             from showo_tpu.ops.streaming_attention import \

@@ -43,6 +43,7 @@ class DiffusionHeadConfig:
     scan_unroll: int = 1  # see models/phi.py
     rope_original_max_position: int = 8192
     num_layers: int = 10
+    attn_fp32: bool = True  # see Qwen2Config.attn_fp32
 
 
 def llama3_rope_tables(positions, cfg: DiffusionHeadConfig):
@@ -336,13 +337,17 @@ def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
             impl, meta = attn_impl or "pallas_streaming", attn_meta
         seg, pad, last_pad, prefix = meta
         if impl == "pallas_trainable":
-            from showo_tpu.ops.streaming_attention_grad import \
-                omni_attention_trainable
+            # packed plan at small/medium S, streaming beyond its VMEM
+            # budget (packed_attention_grad dispatcher)
+            from showo_tpu.ops.packed_attention_grad import \
+                omni_attention_packed_trainable
 
-            attn = omni_attention_trainable(
-                jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
-                jnp.swapaxes(v, 1, 2), seg, pad, last_pad, prefix)
-            attn = jnp.swapaxes(attn, 1, 2).reshape(B, S, H * Dh)
+            attn = omni_attention_packed_trainable(
+                q.reshape(B, S, H * Dh),
+                k.reshape(B, k.shape[1], Hkv * Dh),
+                v.reshape(B, v.shape[1], Hkv * Dh),
+                seg, pad, last_pad, prefix, num_heads=H,
+                num_kv_heads=Hkv)
         elif impl == "pallas_packed":
             # inference: packed kernel keeps the [B,H,S,S] fp32 scores in
             # VMEM per q-block instead of HBM (the DiT head has H=32 —
@@ -367,11 +372,12 @@ def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
         qg = q.reshape(B, S, Hkv, G, Dh)
         # bf16 operands + fp32 accumulator: bit-identical to the fp32
         # upcast, no fp32 operand materialization (see qwen2._layer)
+        sdt = jnp.float32 if cfg.attn_fp32 else jnp.bfloat16
         scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k,
-                            preferred_element_type=jnp.float32) / math.sqrt(Dh)
+                            preferred_element_type=sdt) / math.sqrt(Dh)
         if bias is not None:
-            scores = scores + bias[:, :, None].astype(jnp.float32)
-        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+            scores = scores + bias[:, :, None].astype(sdt)
+        probs = jax.nn.softmax(scores.astype(sdt), axis=-1).astype(v.dtype)
         attn = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v).reshape(B, S, H * Dh)
     # "attn_out": the qkv_attn/qkv_fc1_attn remat rungs save the
     # post-attention rows so backward skips the S x S recompute

@@ -38,6 +38,10 @@ class Qwen2Config:
     # layer-loop unroll (see models/phi.py: full unroll lets XLA schedule
     # across layer boundaries; measured +2.6% on v1 decode)
     scan_unroll: int = 1
+    # fp32 attention scores/softmax (parity default — the reference
+    # upcasts); False = bf16 score storage, a throughput mode that
+    # halves the [B,H,S,S] HBM traffic on the dense path
+    attn_fp32: bool = True
 
 
 class Qwen2KVCache(NamedTuple):
@@ -255,15 +259,18 @@ def _layer(cfg: Qwen2Config, lp, h, bias, cos, sin, cache_kv=None,
             q_positions = cache_index + jnp.arange(S)
         Skv = k_att.shape[1]
         if impl == "pallas_trainable":
-            # differentiable flash kernel (custom VJP, no S x S in HBM):
-            # the training-path attention for long mixed-modal/video seqs
-            from showo_tpu.ops.streaming_attention_grad import \
-                omni_attention_trainable
+            # differentiable flash kernels (custom VJP, no S x S in HBM):
+            # packed plan at small/medium S, streaming K-blocked beyond
+            # its VMEM budget (packed_attention_grad dispatcher)
+            from showo_tpu.ops.packed_attention_grad import \
+                omni_attention_packed_trainable
 
-            attn = omni_attention_trainable(
-                jnp.swapaxes(q, 1, 2), jnp.swapaxes(k_att, 1, 2),
-                jnp.swapaxes(v_att, 1, 2), seg, pad, last_pad, prefix)
-            attn = jnp.swapaxes(attn, 1, 2).reshape(B, S, H * Dh)
+            attn = omni_attention_packed_trainable(
+                q.reshape(B, S, H * Dh),
+                k_att.reshape(B, k_att.shape[1], Hkv * Dh),
+                v_att.reshape(B, v_att.shape[1], Hkv * Dh),
+                seg, pad, last_pad, prefix, num_heads=H,
+                num_kv_heads=Hkv)
         elif impl == "pallas_streaming":
             # online-softmax K-blocked kernel: no VMEM ceiling on S
             from showo_tpu.ops.streaming_attention import \
@@ -296,11 +303,12 @@ def _layer(cfg: Qwen2Config, lp, h, bias, cos, sin, cache_kv=None,
     # round-2 v1 finding, models/phi.py; 2.2x at decode shapes)
     G = H // Hkv
     qg = q.reshape(B, S, Hkv, G, Dh)
+    sdt = jnp.float32 if cfg.attn_fp32 else jnp.bfloat16
     scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k_att,
-                        preferred_element_type=jnp.float32) / math.sqrt(Dh)
+                        preferred_element_type=sdt) / math.sqrt(Dh)
     if bias is not None:
-        scores = scores + bias[:, :, None].astype(jnp.float32)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v_att.dtype)
+        scores = scores + bias[:, :, None].astype(sdt)
+    probs = jax.nn.softmax(scores.astype(sdt), axis=-1).astype(v_att.dtype)
     attn = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v_att).reshape(B, S, H * Dh)
     # "attn_out": the qkv_attn/qkv_fc1_attn remat rungs save the
     # post-attention rows so backward skips the S x S recompute
