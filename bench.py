@@ -426,7 +426,8 @@ def bench_train(args) -> dict:
         "model_tflops_per_s": round(tflops_step / dt, 1),
         "pct_of_277tflops_ceiling": round(pct, 1),
         "attn_impl": tc.attn_impl, "remat": tc.remat,
-        "optimizer": tc.optimizer}
+        "optimizer": tc.optimizer,
+        "softmax": args.get("softmax", "fp32")}
 
 
 def bench_train_v2(args) -> dict:
@@ -544,7 +545,8 @@ def bench_train_v2(args) -> dict:
         "model_tflops_per_s": round(tflops_step / dt, 1),
         "pct_of_277tflops_ceiling": round(tflops_step / dt / 2.77, 1),
         "optimizer": opt_name, "batch": B, "seq": L,
-        "remat": args.get("remat", "full")}
+        "remat": args.get("remat", "full"),
+        "softmax": args.get("softmax", "fp32")}
 
 
 def bench_serve(args) -> dict:
@@ -937,14 +939,17 @@ SUITE = [
     ("t2v_long", "t2v", {"latent_frames": "9"}),
     # r5: prevent_cse=False un-broke the named-rung compiles (the r4
     # "crash the TPU compile helper" was optimization-barrier compile
-    # blowup).  v1 at the recipe batch still can't afford the saved
-    # activations + AdamW moments on 16 GB (qkv_fc1_attn measured
-    # RESOURCE_EXHAUSTED), so train_v1 stays remat=full/adamw; v2
-    # stage-1 now runs batch=2 with qkv_fc1_attn + adafactor
-    # (4.128 -> 5.30 samples/s, 32% MFU).
+    # blowup).  Parity rows keep the reference numerics (fp32 softmax;
+    # v1 AdamW); the _fast rows are the throughput modes (bf16 scores;
+    # v1 swaps AdamW for adafactor because AdamW moments + saved
+    # activations exceed 16 GB under the lighter rungs).
     ("train_v1", "train", {}),
+    ("train_v1_fast", "train",
+     {"remat": "qkv_attn", "opt": "adafactor", "softmax": "bf16"}),
     ("train_v2", "train_v2",
      {"remat": "qkv_fc1_attn", "batch": "2"}),
+    ("train_v2_fast", "train_v2",
+     {"remat": "qkv_fc1_attn", "batch": "3", "softmax": "bf16"}),
 ]
 
 
