@@ -620,12 +620,19 @@ def bench_serve(args) -> dict:
         server.submit(_wreq(bucket), 4)
         server.run(jax.random.PRNGKey(0))   # idle start: plain prefill
     if server.engine._fused_admit_for is not None:
+        # under adaptive A/B, fused admission is gated on a committed
+        # "alt" choice — force it so the warmup compiles the fused
+        # programs off the clock (reset_ab below restarts probation)
+        server.engine.force_ab("alt")
         server.submit(_wreq(320), 8)        # keeps a lane busy (plain)
         for bucket in (320, 384, 448):
             server.submit(_wreq(bucket), 4)  # admitted busy: fused
         server.run(jax.random.PRNGKey(0))
     server.engine.stat_steps = 0
-    server.engine.reset_ab()   # warmup must not consume spec probation
+    # probation restarts for the timed run (warmup windows have
+    # mismatched lane counts/budgets and would mis-measure); programs
+    # compiled during warmup, so in-run probation pays no compile
+    server.engine.reset_ab()
     for p, b in reqs:
         server.submit(p, b)
     t0 = time.perf_counter()
@@ -677,6 +684,8 @@ def bench_serve(args) -> dict:
         out["tokens_per_lane_step"] = round(total_tokens / (steps * slots), 3)
         if server.engine.ab_choice is not None:
             out["spec_ab_choice"] = server.engine.ab_choice
+            out["spec_ab_trace"] = getattr(server.engine, "ab_trace",
+                                           [])[:6]
     return out
 
 
@@ -770,12 +779,17 @@ def bench_serve_v2(args) -> dict:
         server.run(jax.random.PRNGKey(0))   # idle start: plain prefill
     if server.engine._fused_admit_for is not None:
         # admission while a lane decodes compiles the fused-admit program
+        # (force_ab: see the v1 warmup comment)
+        server.engine.force_ab("alt")
         _wsubmit(buckets[0], 8)             # keeps a lane busy
         for b in buckets:
             _wsubmit(b, 4)
         server.run(jax.random.PRNGKey(0))
     server.engine.stat_steps = 0
-    server.engine.reset_ab()   # warmup must not consume spec probation
+    # probation restarts for the timed run (warmup windows have
+    # mismatched lane counts/budgets and would mis-measure); programs
+    # compiled during warmup, so in-run probation pays no compile
+    server.engine.reset_ab()
     for emb, start, budget, ids in reqs:
         submit(emb, start, budget, ids)
     t0 = time.perf_counter()
@@ -793,6 +807,8 @@ def bench_serve_v2(args) -> dict:
         out["tokens_per_lane_step"] = round(total_tokens / (steps * slots), 3)
         if server.engine.ab_choice is not None:
             out["spec_ab_choice"] = server.engine.ab_choice
+            out["spec_ab_trace"] = getattr(server.engine, "ab_trace",
+                                           [])[:6]
     return out
 
 
@@ -923,14 +939,18 @@ SUITE = [
     # sampled serving A/B (VERDICT r4 item 4): the spec=0 row is the
     # baseline; the spec=2 row runs the engine's adaptive probation
     # (rejection-resampling verify stays distribution-exact,
-    # tests/test_spec_sampling.py) and must never fall below it — at
-    # random weights acceptance is ~0, so the controller should commit
-    # to the plain program ("spec_ab_choice": "alt")
+    # tests/test_spec_sampling.py).  At random weights acceptance is ~0,
+    # so the controller commits to the plain program ("spec_ab_choice":
+    # "alt") after ONE short spec window; the residual gap vs the
+    # baseline row is that fixed probation cost (+ pre-commit standalone
+    # admissions), which amortizes toward zero on longer workloads —
+    # 64 requests here keep it within a few percent.
     ("serve_v1_sampled", "serve",
-     {"int8": "1", "temperature": "0.9", "top_p": "0.9", "top_k": "none"}),
+     {"int8": "1", "temperature": "0.9", "top_p": "0.9", "top_k": "none",
+      "requests": "64"}),
     ("serve_v1_spec2_sampled", "serve",
      {"spec": "2", "int8": "1", "temperature": "0.9", "top_p": "0.9",
-      "top_k": "none"}),
+      "top_k": "none", "requests": "64"}),
     ("t2i_v2_euler50", "t2i_v2", {}),
     ("t2i_v2_dpm20", "t2i_v2", {"sampler": "dpm", "steps": "20"}),
     ("t2v", "t2v", {}),

@@ -99,7 +99,7 @@ class ContinuousBatchingEngine:
                  fused_admit_for: Optional[Callable[[int], Callable]] = None,
                  alt_decode_chunk: Optional[Callable] = None,
                  alt_max_tokens_per_step: int = 1,
-                 probe_windows: int = 2):
+                 probe_windows: int = 1):
         self.slots, self.cap, self.chunk = slots, cap, chunk
         self.lookahead = max(1, lookahead)
         self.max_tokens_per_step = max(1, max_tokens_per_step)
@@ -166,44 +166,69 @@ class ContinuousBatchingEngine:
     # -- internals ----------------------------------------------------
 
     def reset_ab(self) -> None:
-        """(Re)start decode-program probation (see __init__)."""
+        """(Re)start decode-program probation (see __init__).
+
+        Probation is deliberately cheap: phase 0 measures the ALT (safe
+        baseline, e.g. plain decode) first, phase 1 the primary (e.g.
+        speculative); probe windows are capped to ONE chunk so a slow
+        candidate is exposed for at most ~(1 + probe_windows) * chunk
+        steps; a window is discarded as compile-warmup only the first
+        time a given program EVER runs (not once per phase)."""
         if self._alt_decode_chunk is None:
             return
-        # phase 0/1: measure primary/alt; each phase skips its first
-        # window (compile) then accumulates (tokens, seconds) over
-        # probe_windows windows; phase 2: committed
-        self._ab = {"phase": 0, "skip": True, "left": self._probe_windows,
+        self._ab = {"phase": 0, "left": self._probe_windows,
                     "stats": [[0, 0.0], [0, 0.0]]}
+        if not hasattr(self, "_prog_runs"):
+            self._prog_runs = [0, 0]     # [alt, primary] window counts
         self.ab_choice = None
+        self.ab_trace = []               # (prog_idx, n, emitted, secs)
+
+    def force_ab(self, choice: str) -> None:
+        """Commit the A/B immediately (warmup helper: lets benches
+        exercise choice-gated programs, e.g. fused admission, off the
+        clock; reset_ab() afterwards restarts real probation)."""
+        if self._ab is not None:
+            self._ab["phase"] = 2
+            self.ab_choice = choice
 
     def _ab_current(self):
-        """(decode_chunk, max_tokens_per_step) for this window."""
-        if self._ab is None or self._ab["phase"] == 0:
-            return self._decode_chunk, self.max_tokens_per_step
-        if self._ab["phase"] == 1:
-            return self._alt_decode_chunk, self._alt_mts
-        return ((self._decode_chunk, self.max_tokens_per_step)
-                if self.ab_choice == "primary"
-                else (self._alt_decode_chunk, self._alt_mts))
+        """(decode_chunk, max_tokens_per_step, prog_idx) for this window;
+        prog_idx: 0 = alt, 1 = primary."""
+        primary = (self._decode_chunk, self.max_tokens_per_step, 1)
+        alt = (self._alt_decode_chunk, self._alt_mts, 0)
+        if self._ab is None:
+            return primary
+        ph = self._ab["phase"]
+        if ph == 0:
+            return alt
+        if ph == 1:
+            return primary
+        return primary if self.ab_choice == "primary" else alt
 
-    def _ab_record(self, emitted: int, seconds: float) -> None:
-        if self._ab is None or self._ab["phase"] >= 2:
+    def _ab_record(self, prog_idx: int, emitted: int, seconds: float
+                   ) -> None:
+        if self._ab is None:
             return
+        if len(self.ab_trace) < 200:
+            self.ab_trace.append((prog_idx, emitted, round(seconds, 4)))
+        first_run = self._prog_runs[prog_idx] == 0
+        self._prog_runs[prog_idx] += 1
         st = self._ab
-        if st["skip"]:
-            st["skip"] = False
+        if st["phase"] >= 2:
             return
+        if first_run:
+            return                       # compile-warmup window
         st["stats"][st["phase"]][0] += emitted
         st["stats"][st["phase"]][1] += seconds
         st["left"] -= 1
         if st["left"] == 0:
             if st["phase"] == 0:
-                st.update(phase=1, skip=True, left=self._probe_windows)
+                st.update(phase=1, left=self._probe_windows)
                 return
-            (t0, s0), (t1, s1) = st["stats"]
-            r0 = t0 / max(s0, 1e-9)
-            r1 = t1 / max(s1, 1e-9)
-            self.ab_choice = "primary" if r0 >= r1 else "alt"
+            (t_alt, s_alt), (t_pri, s_pri) = st["stats"]
+            r_alt = t_alt / max(s_alt, 1e-9)
+            r_pri = t_pri / max(s_pri, 1e-9)
+            self.ab_choice = "primary" if r_pri >= r_alt else "alt"
             st["phase"] = 2
 
     def _prefill(self, bucket: int) -> Callable:
@@ -244,8 +269,13 @@ class ContinuousBatchingEngine:
             padded = np.zeros((1, bucket) + r.prompt.shape[1:],
                               r.prompt.dtype)
             padded[0, :S] = r.prompt
-            if (self._fused_admit_for is not None
-                    and any(a is not None for a in self.active)):
+            # fused admission composes with PLAIN decode (its decode half
+            # pays per-step cache materialization the spec chunk-local
+            # program avoids) — under adaptive A/B it activates once the
+            # controller commits to the alt/plain program
+            fused_ok = self._fused_admit_for is not None and (
+                self._ab is None or self.ab_choice == "alt")
+            if fused_ok and any(a is not None for a in self.active):
                 # fused admission: prefill rides one decode step's weight
                 # stream — decode lanes advance one token instead of
                 # stalling for the standalone prefill program
@@ -316,12 +346,14 @@ class ContinuousBatchingEngine:
         rem = [r.max_new_tokens - len(r.tokens) - int(self._unsynced[s])
                for s, r in enumerate(snapshot) if r is not None]
         self._unsynced[:] = 0
-        dec, mts = self._ab_current()
+        dec, mts, prog_idx = self._ab_current()
         denom = self.chunk * mts
         if mts == 1:
             n = max(1, min(self.lookahead, -(-max(1, min(rem)) // denom)))
         else:  # acceptance varies: floor = conservative window
             n = max(1, min(self.lookahead, max(1, min(rem)) // denom))
+        if self._ab is not None and self._ab["phase"] == 1:
+            n = 1        # short candidate-probe windows: bound exposure
         toks_parts, nvalid_parts = [], []
         t_window = time.perf_counter()
         # first dispatch uploads the host lengths (refills / idle-lane
@@ -386,7 +418,7 @@ class ContinuousBatchingEngine:
             if r.done:
                 finished.append(r)
                 self.active[s] = None
-        self._ab_record(emitted, now - t_window)
+        self._ab_record(prog_idx, emitted, now - t_window)
         return key
 
 
@@ -502,8 +534,11 @@ class ShowoMMUServer:
         # chunk-local decode eliminated), so it defaults off with
         # speculative_k and stays available via fused_admit=True.
         if fused_admit is None:
-            fused_admit = (not speculative_k
-                           and "win" in params["showo"]["layers"])
+            # also built under adaptive sampled-spec (alt_decode): the
+            # engine activates it only after committing to plain decode
+            fused_admit = ("win" in params["showo"]["layers"]
+                           and (not speculative_k
+                                or alt_decode is not None))
         fused_for = None
         if fused_admit:
             from showo_tpu.serving.fused_admit import (build_v1_fused_admit,
@@ -645,7 +680,9 @@ class Showo2MMUServer:
                 top_k=top_k, top_p=top_p, chunk_local=spec_chunk_local)
 
         if fused_admit is None:
-            fused_admit = not speculative_k   # see the v1 comment above
+            # see the v1 comment: under adaptive sampled-spec the engine
+            # activates fused admission after committing to plain decode
+            fused_admit = not speculative_k or alt_decode is not None
         fused_for = None
         if fused_admit:
             from showo_tpu.serving.fused_admit import (build_v2_fused_admit,
