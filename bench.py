@@ -21,8 +21,19 @@ Single metrics:  python bench.py metric=t2i [batch=2] [timesteps=16]
 """
 
 import json
+import os
 import sys
 import time
+
+# persistent compile cache: suite rows recompile mostly-identical
+# programs across processes/rounds; also lets the per-row
+# jax.clear_caches() below stay cheap (re-runs hit the disk cache)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".cache", "jax_tpu_compile"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import jax
 import jax.numpy as jnp
@@ -994,6 +1005,14 @@ def bench_suite(args) -> dict:
               + json.dumps(metrics[name].get("value",
                                              metrics[name].get("error"))),
               file=sys.stderr, flush=True)
+        # rows build jitted pipeline closures with reference cycles —
+        # without an explicit collect + cache clear their device buffers
+        # outlive the row and later rows RESOURCE_EXHAUSTED (r5 suite)
+        import gc
+
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
     head = metrics.get("t2i_256", {})
     return {
         "metric": "suite_headline_t2i_images_per_min_per_chip_256px_16steps",
