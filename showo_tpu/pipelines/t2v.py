@@ -59,8 +59,6 @@ class T2VPipeline:
         # this, every call re-traced the 38-layer euler scan AND the
         # full video VAE decode — ~22 s of host tracing per video vs
         # ~3 s of device work (the round-5 t2v roofline finding)
-        from showo_tpu.show_o2.transport import ode_timegrid
-
         grid = ode_timegrid(self.num_steps,
                             time_shifting_factor=self.time_shifting_factor)
 

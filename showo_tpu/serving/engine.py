@@ -110,10 +110,11 @@ class ContinuousBatchingEngine:
         # adaptive A/B between two decode programs (e.g. speculative vs
         # plain under temperature sampling, where draft acceptance — and
         # thus whether speculation pays — depends on the weights and the
-        # workload): measure each program's emitted-token throughput over
-        # ``probe_windows`` lookahead windows (skipping each phase's first
-        # window, which absorbs its compile), then commit to the winner
-        # for the rest of the run.  reset_ab() restarts probation.
+        # workload): measure the alt (safe baseline) then the primary
+        # over ``probe_windows`` windows each (a window is discarded as
+        # compile-warmup only the FIRST time a given program ever runs;
+        # candidate windows are capped to one chunk), then commit to the
+        # measured winner.  reset_ab() restarts probation.
         self._alt_decode_chunk = alt_decode_chunk
         self._alt_mts = max(1, alt_max_tokens_per_step)
         self._probe_windows = max(1, probe_windows)
