@@ -79,6 +79,56 @@ def layer_norm(x, scale, bias, eps):
     return (y * scale + bias).astype(dt)
 
 
+# row window where the segment-matmul qk-LN wins (measured v5e, r5):
+# mid-size row counts (the cached-MaskGIT window, B=2 x 258 rows:
+# +4.7% t2i) — relayout copies dominate the reduce form there.  At
+# single-token AR decode (rows ~ 1-8) the relayout is trivial and the
+# extra matmul dispatches LOSE (351 -> 328 tok/s); at train row counts
+# the fp32 operand materialization loses (302 -> 330 ms fwd).
+_PACKED_LN_MIN_ROWS = 64
+_PACKED_LN_MAX_ROWS = 4096
+
+
+def head_layer_norm_packed(x, scale, bias, eps, head_dim: int):
+    """Per-head LayerNorm on the PACKED [..., H*Dh] layout.
+
+    Numerically the same two-pass (mean, then centered variance) LN as
+    ``layer_norm`` applied per head.  Two formulations, picked by row
+    count (both measured on v5e, round 5):
+
+      * small M (decode/serving): per-head reductions as tiny MXU
+        matmuls against a segment-indicator matrix — avoids the
+        [..., H, 64] sub-lane reduce layout whose relayout copies cost
+        ~1.7 ms/layer (+4.7% on the v1 t2i headline);
+      * large M (training): the plain reshaped reduce — the matmul
+        form's fp32 operand materialization costs more than the
+        relayout there (330 vs 302 ms on the v1 train forward).
+
+    scale/bias are the per-head [Dh] affine shared across heads."""
+    dt = x.dtype
+    HD = x.shape[-1]
+    H = HD // head_dim
+    lead = x.shape[:-1]
+    rows = 1
+    for d in lead:
+        rows *= int(d)
+    if not (_PACKED_LN_MIN_ROWS <= rows <= _PACKED_LN_MAX_ROWS):
+        y = layer_norm(x.reshape(lead + (H, head_dim)), scale, bias, eps)
+        return y.reshape(x.shape)
+    seg = jnp.equal(jnp.arange(HD)[:, None] // head_dim,
+                    jnp.arange(H)[None, :]).astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
+    mean = (x32 @ seg) / head_dim                       # [..., H]
+    mean_b = jnp.broadcast_to(mean[..., None],
+                              lead + (H, head_dim)).reshape(x.shape)
+    cent = x32 - mean_b
+    var = (jnp.square(cent) @ seg) / head_dim           # [..., H]
+    var_b = jnp.broadcast_to(var[..., None],
+                             lead + (H, head_dim)).reshape(x.shape)
+    y = cent * jax.lax.rsqrt(var_b + eps)
+    return (y * jnp.tile(scale, H) + jnp.tile(bias, H)).astype(dt)
+
+
 def _rope_tables(positions: jnp.ndarray, rotary_dim: int, theta: float):
     """cos/sin tables [..., rotary_dim] for GPT-NeoX convention."""
     inv_freq = 1.0 / (theta ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32)
@@ -377,13 +427,13 @@ def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
                     (ck, cv))
         qkv, mlp_pre = y[..., :3 * D], y[..., 3 * D:]
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, S, H, Dh)
-        k = k.reshape(B, S, H, Dh)
+        q = head_layer_norm_packed(q, lp["q_ln"]["scale"],
+                                   lp["q_ln"]["bias"], cfg.layer_norm_eps,
+                                   Dh).reshape(B, S, H, Dh)
+        k = head_layer_norm_packed(k, lp["k_ln"]["scale"],
+                                   lp["k_ln"]["bias"], cfg.layer_norm_eps,
+                                   Dh).reshape(B, S, H, Dh)
         v = v.reshape(B, S, H, Dh)
-        q = layer_norm(q, lp["q_ln"]["scale"], lp["q_ln"]["bias"],
-                       cfg.layer_norm_eps)
-        k = layer_norm(k, lp["k_ln"]["scale"], lp["k_ln"]["bias"],
-                       cfg.layer_norm_eps)
         q, k = apply_rope(q, k, cos, sin, cfg.rotary_dim)
         if cache_kv is not None and static_prefix:
             ck, cv = cache_kv
@@ -418,9 +468,6 @@ def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
         qkv = checkpoint_name(x @ _wk(lp["qkv"]) + lp["qkv"]["bias"],
                               "qkv_out")
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, S, H, Dh)
-        k = k.reshape(B, S, H, Dh)
-        v = v.reshape(B, S, H, Dh)
     else:
         # names for the intermediate remat policies (phi_forward):
         # remat="qkv" saves ONLY these three projections per layer
@@ -430,15 +477,17 @@ def _layer(cfg: PhiConfig, lp: Dict[str, Any], h: jnp.ndarray,
         # too -> OOMs at the recipe batch).  Tagged in the FLAT [B,S,D]
         # layout: the [B,S,H,Dh] head reshape pads Dh=64 up to the
         # 128-lane tile (+32% HBM per saved tensor, measured OOM).
-        q = checkpoint_name(x @ _wk(lp["q"]) + lp["q"]["bias"], "qkv_out"
-                            ).reshape(B, S, H, Dh)
-        k = checkpoint_name(x @ _wk(lp["k"]) + lp["k"]["bias"], "qkv_out"
-                            ).reshape(B, S, H, Dh)
-        v = checkpoint_name(x @ _wk(lp["v"]) + lp["v"]["bias"], "qkv_out"
-                            ).reshape(B, S, H, Dh)
+        q = checkpoint_name(x @ _wk(lp["q"]) + lp["q"]["bias"], "qkv_out")
+        k = checkpoint_name(x @ _wk(lp["k"]) + lp["k"]["bias"], "qkv_out")
+        v = checkpoint_name(x @ _wk(lp["v"]) + lp["v"]["bias"], "qkv_out")
 
-    q = layer_norm(q, lp["q_ln"]["scale"], lp["q_ln"]["bias"], cfg.layer_norm_eps)
-    k = layer_norm(k, lp["k_ln"]["scale"], lp["k_ln"]["bias"], cfg.layer_norm_eps)
+    # per-head qk-LN in the PACKED layout (segment-matmul reductions):
+    # the [B,S,H,64] reduce layout cost ~1.7 ms/layer in relayout copies
+    q = head_layer_norm_packed(q, lp["q_ln"]["scale"], lp["q_ln"]["bias"],
+                               cfg.layer_norm_eps, Dh).reshape(B, S, H, Dh)
+    k = head_layer_norm_packed(k, lp["k_ln"]["scale"], lp["k_ln"]["bias"],
+                               cfg.layer_norm_eps, Dh).reshape(B, S, H, Dh)
+    v = v.reshape(B, S, H, Dh)
 
     q, k = apply_rope(q, k, cos, sin, cfg.rotary_dim)
 
