@@ -65,6 +65,35 @@ def llama3_rope_tables(positions, cfg: DiffusionHeadConfig):
     return jnp.cos(emb), jnp.sin(emb)
 
 
+def head_rms_norm_packed(x, scale, eps, head_dim: int):
+    """Per-head RMSNorm on the PACKED [..., H*Dh] layout: the per-head
+    sum-of-squares runs as a tiny MXU segment matmul instead of a
+    sub-lane reduce over the trailing Dh=64 axis (the relayout-copy
+    pathology measured on the v1 qk-LN, models/phi.py
+    head_layer_norm_packed — same windowed dispatch)."""
+    from showo_tpu.models.phi import (_PACKED_LN_MAX_ROWS,
+                                      _PACKED_LN_MIN_ROWS)
+
+    dt = x.dtype
+    HD = x.shape[-1]
+    H = HD // head_dim
+    lead = x.shape[:-1]
+    rows = 1
+    for d in lead:
+        rows *= int(d)
+    if not (_PACKED_LN_MIN_ROWS <= rows <= _PACKED_LN_MAX_ROWS):
+        y = rms_norm(x.reshape(lead + (H, head_dim)), scale, eps)
+        return y.reshape(x.shape)
+    seg = jnp.equal(jnp.arange(HD)[:, None] // head_dim,
+                    jnp.arange(H)[None, :]).astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
+    ms = (jnp.square(x32) @ seg) / head_dim             # [..., H]
+    inv = jnp.broadcast_to(
+        jax.lax.rsqrt(ms + eps)[..., None],
+        lead + (H, head_dim)).reshape(x.shape)
+    return (jnp.tile(scale, H) * (x32 * inv)).astype(dt)
+
+
 def modulate(x, shift, scale):
     dt = x.dtype
     out = (x.astype(jnp.float32) * (1 + scale.astype(jnp.float32))
@@ -296,19 +325,21 @@ def _dit_layer(cfg: DiffusionHeadConfig, lp, h, adaln_input, bias, cos, sin,
 
     if "qkv" in lp:
         qkv = checkpoint_name(x @ lp["qkv"]["kernel"], "qkv_out")
-        q = qkv[..., :H * Dh].reshape(B, S, H, Dh)
-        k = qkv[..., H * Dh:(H + Hkv) * Dh].reshape(B, S, Hkv, Dh)
-        v = qkv[..., (H + Hkv) * Dh:].reshape(B, S, Hkv, Dh)
+        q = qkv[..., :H * Dh]
+        k = qkv[..., H * Dh:(H + Hkv) * Dh]
+        v = qkv[..., (H + Hkv) * Dh:]
     else:
-        q = checkpoint_name(x @ lp["q"]["kernel"], "qkv_out"
-                            ).reshape(B, S, H, Dh)
-        k = checkpoint_name(x @ lp["k"]["kernel"], "qkv_out"
-                            ).reshape(B, S, Hkv, Dh)
-        v = checkpoint_name(x @ lp["v"]["kernel"], "qkv_out"
-                            ).reshape(B, S, Hkv, Dh)
+        q = checkpoint_name(x @ lp["q"]["kernel"], "qkv_out")
+        k = checkpoint_name(x @ lp["k"]["kernel"], "qkv_out")
+        v = checkpoint_name(x @ lp["v"]["kernel"], "qkv_out")
     if cfg.qk_norm:
-        q = rms_norm(q, lp["q_norm"]["scale"], 1e-6)
-        k = rms_norm(k, lp["k_norm"]["scale"], 1e-6)
+        # per-head RMS in the packed layout (segment-matmul reductions
+        # at mid-size row counts; see head_rms_norm_packed)
+        q = head_rms_norm_packed(q, lp["q_norm"]["scale"], 1e-6, Dh)
+        k = head_rms_norm_packed(k, lp["k_norm"]["scale"], 1e-6, Dh)
+    q = q.reshape(B, S, H, Dh)
+    k = k.reshape(B, S, Hkv, Dh)
+    v = v.reshape(B, S, Hkv, Dh)
     # reference applies qk-norm then RoPE with heads on axis 1; we keep
     # [B, S, H, Dh] layout and broadcast cos/sin over heads
     cos_b = cos[:, :, None, :].astype(q.dtype)
