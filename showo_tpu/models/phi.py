@@ -80,12 +80,13 @@ def layer_norm(x, scale, bias, eps):
 
 
 # row window where the segment-matmul qk-LN wins (measured v5e, r5):
-# mid-size row counts (the cached-MaskGIT window, B=2 x 258 rows:
-# +4.7% t2i) — relayout copies dominate the reduce form there.  At
-# single-token AR decode (rows ~ 1-8) the relayout is trivial and the
-# extra matmul dispatches LOSE (351 -> 328 tok/s); at train row counts
-# the fp32 operand materialization loses (302 -> 330 ms fwd).
-_PACKED_LN_MIN_ROWS = 64
+# mid-size row counts (the cached-MaskGIT window, B=2 x 258 = 516 rows:
+# +4.7% t2i headline).  At single-token AR decode (rows ~ 1-8) the
+# relayout is trivial and the extra matmul dispatches LOSE (351 -> 328
+# tok/s); the B=1 MMU prefill (324 rows) also measured ~3% slower on
+# the matmul form, so the floor sits above it; at train row counts
+# (~11k) the fp32 operand materialization loses (302 -> 330 ms fwd).
+_PACKED_LN_MIN_ROWS = 400
 _PACKED_LN_MAX_ROWS = 4096
 
 
