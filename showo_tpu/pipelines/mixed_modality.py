@@ -91,9 +91,17 @@ class MixedModalityPipeline:
         return out
 
     def _denoise_last(self, text_tokens, mp, history_latents, key):
-        """ODE-denoise the last image; history images stay clean (t=1)."""
+        """ODE-denoise the last image; history images stay clean (t=1).
+        The euler solve is jitted (cached by sequence/history shape):
+        repeated rounds and calls no longer re-trace the towers."""
+        if not hasattr(self, "_denoise_jit"):
+            self._denoise_jit = jax.jit(self._denoise_last_impl)
+        return self._denoise_jit(self.params, text_tokens, mp,
+                                 history_latents, key)
+
+    def _denoise_last_impl(self, params, text_tokens, mp, history_latents,
+                           key):
         cfg = self.cfg
-        B = 1
         M = mp.shape[1]
         h, w = cfg.image_latent_height, cfg.image_latent_width
         key, k_z = jax.random.split(key)
@@ -112,7 +120,7 @@ class MixedModalityPipeline:
                 [jnp.ones((M - 1,)), t[:1]]) if M > 1 else t[:1]
             t_full = jnp.concatenate([t_per_img, t_per_img], axis=0)
             v = showo2_t2i_velocity(
-                cfg, self.params, text2, lat2, t_full, bias, mp2,
+                cfg, params, text2, lat2, t_full, bias, mp2,
                 guidance_scale=self.guidance_scale,
                 only_denoise_last_image=True)
             # v: [2*M, C, h, w]; take last image of each half

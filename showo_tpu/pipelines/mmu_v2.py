@@ -71,20 +71,38 @@ class MMUV2Pipeline:
 
     def answer(self, image_nhwc: np.ndarray, question: str, key,
                system_prompt: str = "system\nYou are a helpful assistant.") -> List[int]:
-        cfg, params, ids = self.cfg, self.params, self.token_ids
+        ids = self.token_ids
 
         pixels = jnp.transpose(jnp.asarray(image_nhwc)[None], (0, 3, 1, 2))[:, :, None]
-        key, k_vae = jax.random.split(key)
-        latents = wan_encode(self.vae_cfg, self.vae_params, pixels, k_vae)[:, :, 0]
-        image_embeds = embed_images(cfg, params, latents)
-
         sys_ids = self._tok(system_prompt)
         role_a = self._tok("\nuser\n")
         role_b = self._tok("\nassistant\n")
         q_ids = self._tok(question)
-
         tokens_a = jnp.asarray([[ids["bos_id"]] + sys_ids + role_a])
         tokens_b = jnp.asarray([[ids["boi_id"], ids["eoi_id"]] + q_ids + role_b])
+        toks, valid = self._answer_core(self.params, self.vae_params,
+                                        pixels, tokens_a, tokens_b, key)
+        toks, valid = np.asarray(toks)[0], np.asarray(valid)[0]
+        eos = ids["eos_id"]
+        return [t for t in toks[valid].tolist() if t != eos]
+
+    def _answer_core(self, params, vae_params, pixels, tokens_a, tokens_b,
+                     key):
+        """One jitted VAE-encode → embed → prefill → AR-decode program
+        (cached by prompt shape: repeated eval-sweep calls with the same
+        question length no longer re-trace the 28-layer scans)."""
+        if not hasattr(self, "_core_jit"):
+            self._core_jit = jax.jit(self._answer_core_impl)
+        return self._core_jit(params, vae_params, pixels, tokens_a,
+                              tokens_b, key)
+
+    def _answer_core_impl(self, params, vae_params, pixels, tokens_a,
+                          tokens_b, key):
+        cfg, ids = self.cfg, self.token_ids
+        key, k_vae = jax.random.split(key)
+        latents = wan_encode(self.vae_cfg, vae_params, pixels, k_vae)[:, :, 0]
+        image_embeds = embed_images(cfg, params, latents)
+
         embed = params["showo"]["embed"]
         emb_a = embed[tokens_a]
         emb_b = embed[tokens_b]
@@ -125,10 +143,8 @@ class MMUV2Pipeline:
                                              attention_bias=b, cache=cache)
             return logits, cache
 
-        eos = ids["eos_id"]
-        toks, valid = ar_generate(
+        return ar_generate(
             prefill, decode, jnp.zeros((B, S), jnp.int32), key,
             max_new_tokens=self.max_new_tokens, temperature=self.temperature,
-            top_k=self.top_k, top_p=self.top_p, eot_token=eos, prompt_bias=bias)
-        toks, valid = np.asarray(toks)[0], np.asarray(valid)[0]
-        return [t for t in toks[valid].tolist() if t != eos]
+            top_k=self.top_k, top_p=self.top_p, eot_token=ids["eos_id"],
+            prompt_bias=bias)
